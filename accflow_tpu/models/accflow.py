@@ -1,0 +1,280 @@
+"""AccFlow: occlusion-aware backward accumulation for long-range flow.
+
+Rebuilt from networks/AccFlow_.py (the paper's core module):
+
+- FlowEncoder (:48-65): 2->128 conv stack for 1/8-res flows (batched over a
+  list like RAFT's encoders).
+- FlowDecoder (:13-45): 128 -> (flow_small, flow) with a 2-conv flow head,
+  a 64*9 mask head and RAFT's convex 8x upsampling.
+- context (:152): BasicEncoder(3, 128, norm="none") reused per frame.
+- AccPlus (:68-109): occlusion-aware accumulation cell — conv stacks + a
+  modulated 3x3 deformable conv whose 18 offsets + 9 sigmoid masks come
+  from a ZeroConv2d-terminated branch (split [18, 9] at :102).
+- Blending (:112-124): learned sigmoid mask from an error map fusing the
+  direct-flow feature with the accumulated feature.
+- Recurrence (:157-201): for i in 2..N-1 the cell consumes the detached
+  accumulated flow F_{i-1,0}; the frozen OFE is queried in ONE batched call
+  per step (3 image pairs on the first step, 2 afterwards).
+
+TPU mapping: the temporal recurrence is an unrolled first step plus a
+`lax.scan` over the remaining steps (their traced shapes are identical), so
+an N-frame clip runs as one XLA program with no host round-trips.
+`stop_gradient` replaces `.detach()`/`torch.no_grad` — the OFE is a frozen
+feature oracle, exactly as in the reference. Mixed precision mirrors
+autocast: cell modules run in compute dtype; OFE outputs, occlusion maps
+and decoder outputs are float32.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from accflow_tpu.models.encoders import basic_encoder, init_basic_encoder
+from accflow_tpu.nn.layers import (
+    conv2d,
+    init_conv,
+    init_zero_conv,
+    relu,
+    zero_conv2d,
+)
+from accflow_tpu.ops.deform import deform_conv3x3
+from accflow_tpu.ops.grids import downflow8
+from accflow_tpu.ops.occlusion import photometric_occ
+from accflow_tpu.ops.upsample import convex_upsample
+
+Params = dict
+
+
+@dataclasses.dataclass(frozen=True)
+class AccFlowConfig:
+    hidden: int = 128
+    ofe_iters: int = 12
+    compute_dtype: str = "bfloat16"
+
+
+# ---------------------------------------------------------------------------
+# Sub-modules
+# ---------------------------------------------------------------------------
+
+def init_flow_encoder(key: jax.Array, c: int = 128) -> Params:
+    ks = jax.random.split(key, 3)
+    return {
+        "conv1": init_conv(ks[0], 2, c, 7),
+        "conv2": init_conv(ks[1], c, c * 2, 3),
+        "conv3": init_conv(ks[2], c * 2, c, 1),
+    }
+
+
+def flow_encoder(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    x = relu(conv2d(p["conv1"], x))
+    x = relu(conv2d(p["conv2"], x))
+    return conv2d(p["conv3"], x, padding=0)
+
+
+def init_flow_decoder(key: jax.Array, c: int = 128) -> Params:
+    ks = jax.random.split(key, 4)
+    return {
+        "flow": {
+            "0": init_conv(ks[0], c, c * 2, 3),
+            "2": init_conv(ks[1], c * 2, 2, 3),
+        },
+        "mask": {
+            "0": init_conv(ks[2], c, c * 2, 3),
+            "2": init_conv(ks[3], c * 2, 64 * 9, 1),
+        },
+    }
+
+
+def flow_decoder(p: Params, x: jnp.ndarray):
+    flow_small = conv2d(p["flow"]["2"], relu(conv2d(p["flow"]["0"], x)))
+    mask = conv2d(p["mask"]["2"], relu(conv2d(p["mask"]["0"], x)), padding=0)
+    flow = convex_upsample(flow_small.astype(jnp.float32), mask)
+    return flow_small, flow
+
+
+def init_accplus(key: jax.Array, c: int = 128) -> Params:
+    ks = jax.random.split(key, 10)
+    return {
+        "conv1": {
+            "0": init_conv(ks[0], c * 2 + 1, c * 2, 3),
+            "2": init_conv(ks[1], c * 2, c, 3),
+        },
+        "conv2": {
+            "0": init_conv(ks[2], c * 2, c * 2, 3),
+            "2": init_conv(ks[3], c * 2, c, 3),
+            "4": init_zero_conv(ks[4], c, 27),
+        },
+        "dconv": init_conv(ks[5], c, c, 3),
+        "conv3": {
+            "0": init_conv(ks[6], c * 2 + 1, c * 2, 3),
+            "2": init_conv(ks[7], c * 2, c, 3),
+        },
+        "conv4": {
+            "0": init_conv(ks[8], c * 4, c * 2, 3),
+            "2": init_conv(ks[9], c * 2, c, 3),
+            "4": init_conv(jax.random.fold_in(key, 99), c, c, 1),
+        },
+    }
+
+
+def accplus(p: Params, df, f, o, c):
+    """Accumulation cell (AccFlow_.py:97-109).
+
+    df: encoded local flow; f: encoded accumulated flow F_{i-1,0};
+    o: binary occlusion map (1 channel); c: context features of frame i.
+    """
+    x = jnp.concatenate([df, f, o.astype(df.dtype)], axis=-1)
+    x = conv2d(p["conv1"]["2"], relu(conv2d(p["conv1"]["0"], x)))
+    x = jnp.concatenate([x, c], axis=-1)
+    x = relu(conv2d(p["conv2"]["2"], relu(conv2d(p["conv2"]["0"], x))))
+    x = zero_conv2d(p["conv2"]["4"], x)
+    off, m = x[..., :18], x[..., 18:]
+    m = jax.nn.sigmoid(m)
+    f_ = deform_conv3x3(
+        f, off.astype(jnp.float32), m.astype(jnp.float32),
+        p["dconv"]["w"], p["dconv"]["b"],
+    )
+    x = jnp.concatenate([f_, df, o.astype(df.dtype)], axis=-1)
+    x = conv2d(p["conv3"]["2"], relu(conv2d(p["conv3"]["0"], x)))
+    x = jnp.concatenate([x, c, f_, df], axis=-1)
+    x = relu(conv2d(p["conv4"]["2"], relu(conv2d(p["conv4"]["0"], x))))
+    return conv2d(p["conv4"]["4"], x, padding=0)
+
+
+def init_blending(key: jax.Array, c: int = 128) -> Params:
+    k1, k2 = jax.random.split(key)
+    return {
+        "mask": {
+            "0": init_conv(k1, c, c * 2, 1),
+            "2": init_conv(k2, c * 2, 1, 3),
+        }
+    }
+
+
+def blending(p: Params, f1, f2, emap):
+    m = jax.nn.sigmoid(
+        conv2d(p["mask"]["2"], relu(conv2d(p["mask"]["0"], emap, padding=0)))
+    )
+    return f1 * m + (1.0 - m) * f2
+
+
+# ---------------------------------------------------------------------------
+# AccFlow
+# ---------------------------------------------------------------------------
+
+def init_accflow(key: jax.Array, cfg: AccFlowConfig = AccFlowConfig()) -> Params:
+    """Params for the accumulation modules only; the OFE params live in a
+    sibling subtree (see accflow_forward's `ofe_params`) mirroring the
+    reference's AccFlow(ofe) composition."""
+    ks = jax.random.split(key, 5)
+    c = cfg.hidden
+    return {
+        "flow_encoder": init_flow_encoder(ks[0], c),
+        "flow_decoder": init_flow_decoder(ks[1], c),
+        "context": init_basic_encoder(ks[2], 3, output_dim=c, norm_fn="none"),
+        "accplus": init_accplus(ks[3], c),
+        "blending": init_blending(ks[4], c),
+    }
+
+
+OfeFn = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
+# OfeFn(image1_batch, image2_batch) -> full-res flow batch (float32), i.e. a
+# closed-over frozen flow estimator (RAFT or GMA forward returning flow_up).
+
+
+def _accflow_cell(
+    params: Params,
+    ofe: OfeFn,
+    I1: jnp.ndarray,
+    I2: jnp.ndarray,
+    In: jnp.ndarray,
+    F2n: Optional[jnp.ndarray],
+    cfg: AccFlowConfig,
+):
+    """One accumulation step (AccFlow_.py:177-201). F2n is the 1/8-res
+    accumulated flow I2 -> In, or None on the first step (it is then
+    estimated directly by the OFE alongside the other pairs)."""
+    cd = jnp.dtype(cfg.compute_dtype)
+
+    if F2n is None:
+        flows = ofe(
+            jnp.concatenate([I1, I1, I2], axis=0),
+            jnp.concatenate([I2, In, In], axis=0),
+        )
+        flows = downflow8(flows)
+        dflow, flow_ini, F2n = jnp.split(flows, 3, axis=0)
+    else:
+        flows = ofe(
+            jnp.concatenate([I1, I1], axis=0),
+            jnp.concatenate([I2, In], axis=0),
+        )
+        flows = downflow8(flows)
+        dflow, flow_ini = jnp.split(flows, 2, axis=0)
+    dflow = lax.stop_gradient(dflow)
+    flow_ini = lax.stop_gradient(flow_ini)
+
+    n = I1.shape[0]
+    f_enc = flow_encoder(
+        params["flow_encoder"],
+        jnp.concatenate([flow_ini, dflow, F2n], axis=0).astype(cd),
+    )
+    f_ini, df, f = f_enc[:n], f_enc[n : 2 * n], f_enc[2 * n :]
+
+    ctx = basic_encoder(
+        params["context"],
+        jnp.concatenate([I1, I2, In], axis=0).astype(cd),
+        "none",
+    )
+    c1, c2, cn = ctx[:n], ctx[n : 2 * n], ctx[2 * n :]
+
+    o = photometric_occ(dflow, c1.astype(jnp.float32), c2.astype(jnp.float32))
+    o = lax.stop_gradient(o)
+    f_acc = accplus(params["accplus"], df, f, o.astype(cd), c1)
+
+    emap = photometric_occ(
+        flow_ini, c1.astype(jnp.float32), cn.astype(jnp.float32), binary=False
+    )
+    emap = lax.stop_gradient(emap)
+    f_fuse = blending(params["blending"], f_ini, f_acc, emap.astype(cd))
+
+    out_small, out = flow_decoder(params["flow_decoder"], f_fuse)
+    return out_small.astype(jnp.float32), out.astype(jnp.float32)
+
+
+def accflow_forward(
+    params: Params,
+    ofe: OfeFn,
+    images: jnp.ndarray,
+    cfg: AccFlowConfig = AccFlowConfig(),
+):
+    """Accumulate long-range flow over a clip.
+
+    images: (T, N, H, W, 3) normalized frames [I0 ... I_{T-1}], T >= 3.
+    Returns (T-2, N, H, W, 2) float32: [F_{2,0}, ..., F_{T-1,0}] at full
+    resolution (AccFlow_.py:157-175 collects the same list).
+    """
+    t = images.shape[0]
+    if t < 3:
+        raise ValueError("AccFlow needs at least 3 frames")
+    In = images[0]
+
+    # First step (i=2): OFE also estimates the seed flow F_{1,0}.
+    flow, out0 = _accflow_cell(params, ofe, images[2], images[1], In, None, cfg)
+
+    if t == 3:
+        return out0[None]
+
+    def step(flow, frames):
+        I1, I2 = frames
+        flow = lax.stop_gradient(flow)
+        flow, out = _accflow_cell(params, ofe, I1, I2, In, flow, cfg)
+        return flow, out
+
+    xs = (images[3:], images[2:-1])
+    _, outs = lax.scan(step, flow, xs)
+    return jnp.concatenate([out0[None], outs], axis=0)

@@ -1,0 +1,195 @@
+"""RAFT/GMA feature and context encoders (NHWC, functional).
+
+Rebuilt from the behavior of networks/raft/extractor.py:
+- ResidualBlock (:5-63), BottleneckBlock (:66-134),
+- BasicEncoder (:137-225): 7x7/2 stem + 3 residual stages (64, 96, 128),
+  1x1 output conv, total stride 8,
+- SmallEncoder (:228-306): bottleneck variant (32, 64, 96).
+
+Param-tree paths mirror the torch module names (conv1, norm1, layer1.0.conv2,
+downsample.0/1, conv2, ...) so .pth conversion is mechanical. Note the
+reference registers the downsample norm both as `norm3` and `downsample.1`
+(shared tensor); we store it only under `downsample.1`.
+
+The GMA copy of BasicEncoder (networks/gma/extractor.py:116-188) is the same
+computation with input_dim fixed to 3 — covered by `input_dim=3` here.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from accflow_tpu.nn.layers import (
+    apply_norm,
+    conv2d,
+    init_conv,
+    init_norm,
+    relu,
+)
+
+Params = dict
+
+
+def _norm_groups(planes: int) -> int:
+    return planes // 8
+
+
+# ---------------------------------------------------------------------------
+# Residual block
+# ---------------------------------------------------------------------------
+
+def init_residual_block(
+    key: jax.Array, in_planes: int, planes: int, norm_fn: str, stride: int = 1
+) -> Params:
+    ks = jax.random.split(key, 3)
+    p: Params = {
+        "conv1": init_conv(ks[0], in_planes, planes, 3, init="kaiming_normal_out"),
+        "conv2": init_conv(ks[1], planes, planes, 3, init="kaiming_normal_out"),
+    }
+    for name in ("norm1", "norm2"):
+        norm_p = init_norm(norm_fn, planes, _norm_groups(planes))
+        if norm_p is not None:
+            p[name] = norm_p
+    if stride != 1 or in_planes != planes:
+        down: Params = {
+            "0": init_conv(ks[2], in_planes, planes, 1, init="kaiming_normal_out")
+        }
+        norm_p = init_norm(norm_fn, planes, _norm_groups(planes))
+        if norm_p is not None:
+            down["1"] = norm_p
+        p["downsample"] = down
+    return p
+
+
+def residual_block(p: Params, x: jnp.ndarray, norm_fn: str, stride: int = 1) -> jnp.ndarray:
+    planes = p["conv1"]["w"].shape[-1]
+    groups = _norm_groups(planes)
+    y = relu(apply_norm(norm_fn, p.get("norm1"), conv2d(p["conv1"], x, stride=stride), groups))
+    y = relu(apply_norm(norm_fn, p.get("norm2"), conv2d(p["conv2"], y), groups))
+    if "downsample" in p:
+        x = apply_norm(
+            norm_fn,
+            p["downsample"].get("1"),
+            conv2d(p["downsample"]["0"], x, stride=stride, padding=0),
+            groups,
+        )
+    return relu(x + y)
+
+
+# ---------------------------------------------------------------------------
+# Bottleneck block (small models)
+# ---------------------------------------------------------------------------
+
+def init_bottleneck_block(
+    key: jax.Array, in_planes: int, planes: int, norm_fn: str, stride: int = 1
+) -> Params:
+    ks = jax.random.split(key, 4)
+    p: Params = {
+        "conv1": init_conv(ks[0], in_planes, planes // 4, 1, init="kaiming_normal_out"),
+        "conv2": init_conv(ks[1], planes // 4, planes // 4, 3, init="kaiming_normal_out"),
+        "conv3": init_conv(ks[2], planes // 4, planes, 1, init="kaiming_normal_out"),
+    }
+    groups = _norm_groups(planes)
+    for name, ch in (("norm1", planes // 4), ("norm2", planes // 4), ("norm3", planes)):
+        norm_p = init_norm(norm_fn, ch, groups)
+        if norm_p is not None:
+            p[name] = norm_p
+    if stride != 1:
+        down: Params = {
+            "0": init_conv(ks[3], in_planes, planes, 1, init="kaiming_normal_out")
+        }
+        norm_p = init_norm(norm_fn, planes, groups)
+        if norm_p is not None:
+            down["1"] = norm_p
+        p["downsample"] = down
+    return p
+
+
+def bottleneck_block(p: Params, x: jnp.ndarray, norm_fn: str, stride: int = 1) -> jnp.ndarray:
+    planes = p["conv3"]["w"].shape[-1]
+    groups = _norm_groups(planes)
+    y = relu(apply_norm(norm_fn, p.get("norm1"), conv2d(p["conv1"], x, padding=0), groups))
+    y = relu(apply_norm(norm_fn, p.get("norm2"), conv2d(p["conv2"], y, stride=stride), groups))
+    y = relu(apply_norm(norm_fn, p.get("norm3"), conv2d(p["conv3"], y, padding=0), groups))
+    if "downsample" in p:
+        x = apply_norm(
+            norm_fn,
+            p["downsample"].get("1"),
+            conv2d(p["downsample"]["0"], x, stride=stride, padding=0),
+            groups,
+        )
+    return relu(x + y)
+
+
+# ---------------------------------------------------------------------------
+# BasicEncoder
+# ---------------------------------------------------------------------------
+
+_BASIC_STAGES = (64, 96, 128)
+
+
+def init_basic_encoder(
+    key: jax.Array, input_dim: int = 3, output_dim: int = 128, norm_fn: str = "batch"
+) -> Params:
+    ks = jax.random.split(key, 8)
+    p: Params = {"conv1": init_conv(ks[0], input_dim, 64, 7, init="kaiming_normal_out")}
+    norm_p = init_norm(norm_fn, 64, 8)
+    if norm_p is not None:
+        p["norm1"] = norm_p
+    in_planes = 64
+    for idx, (planes, stride) in enumerate(zip(_BASIC_STAGES, (1, 2, 2)), start=1):
+        p[f"layer{idx}"] = {
+            "0": init_residual_block(ks[2 * idx - 1], in_planes, planes, norm_fn, stride),
+            "1": init_residual_block(ks[2 * idx], planes, planes, norm_fn, 1),
+        }
+        in_planes = planes
+    p["conv2"] = init_conv(ks[7], 128, output_dim, 1, init="kaiming_normal_out")
+    return p
+
+
+def basic_encoder(p: Params, x: jnp.ndarray, norm_fn: str) -> jnp.ndarray:
+    """Stride-8 feature encoder. x: (N, H, W, C) -> (N, H/8, W/8, output_dim)."""
+    x = conv2d(p["conv1"], x, stride=2)
+    x = relu(apply_norm(norm_fn, p.get("norm1"), x, 8))
+    for idx, stride in zip((1, 2, 3), (1, 2, 2)):
+        stage = p[f"layer{idx}"]
+        x = residual_block(stage["0"], x, norm_fn, stride)
+        x = residual_block(stage["1"], x, norm_fn, 1)
+    return conv2d(p["conv2"], x, padding=0)
+
+
+# ---------------------------------------------------------------------------
+# SmallEncoder
+# ---------------------------------------------------------------------------
+
+_SMALL_STAGES = (32, 64, 96)
+
+
+def init_small_encoder(
+    key: jax.Array, output_dim: int = 128, norm_fn: str = "batch"
+) -> Params:
+    ks = jax.random.split(key, 8)
+    p: Params = {"conv1": init_conv(ks[0], 3, 32, 7, init="kaiming_normal_out")}
+    norm_p = init_norm(norm_fn, 32, 8)
+    if norm_p is not None:
+        p["norm1"] = norm_p
+    in_planes = 32
+    for idx, (planes, stride) in enumerate(zip(_SMALL_STAGES, (1, 2, 2)), start=1):
+        p[f"layer{idx}"] = {
+            "0": init_bottleneck_block(ks[2 * idx - 1], in_planes, planes, norm_fn, stride),
+            "1": init_bottleneck_block(ks[2 * idx], planes, planes, norm_fn, 1),
+        }
+        in_planes = planes
+    p["conv2"] = init_conv(ks[7], 96, output_dim, 1, init="kaiming_normal_out")
+    return p
+
+
+def small_encoder(p: Params, x: jnp.ndarray, norm_fn: str) -> jnp.ndarray:
+    x = conv2d(p["conv1"], x, stride=2)
+    x = relu(apply_norm(norm_fn, p.get("norm1"), x, 8))
+    for idx, stride in zip((1, 2, 3), (1, 2, 2)):
+        stage = p[f"layer{idx}"]
+        x = bottleneck_block(stage["0"], x, norm_fn, stride)
+        x = bottleneck_block(stage["1"], x, norm_fn, 1)
+    return conv2d(p["conv2"], x, padding=0)

@@ -1,0 +1,207 @@
+"""GMA (Global Motion Aggregation) flow estimator, TPU-native.
+
+Rebuilt from networks/gma/gma.py, networks/gma/modules.py and
+networks/gma/update.py. GMA is RAFT's skeleton plus a single-head
+content-only attention over the context features:
+
+- Attention (modules.py:34-76): q, k from one bias-free 1x1 conv on `inp`,
+  q scaled by dim_head^-0.5, sim = q·k over the flattened H*W axis,
+  softmax -> (B, heads, HW, HW). Computed ONCE per pair (gma.py:96) and
+  reused every iteration. The factory's flags (networks/__init__.py:14-19)
+  select the content-only branch; RelPosEmb exists upstream but is unused
+  (we support content-only, matching released checkpoints).
+- Aggregate (modules.py:79-115): v = bias-free 1x1 conv on the motion
+  features, out = attn @ v, residual with learned scalar gamma (init 0).
+- GMAUpdateBlock (update.py:112-139): GRU input = [inp, motion,
+  motion_global] (128*3 channels).
+
+TPU notes: at 1/8 resolution of 512^2 the attention is a (4096, 4096)
+matmul + softmax — MXU-friendly. The softmax runs in float32; the stored
+attention matrix is kept in compute dtype for the per-iteration
+aggregation matmul.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from accflow_tpu.models.encoders import basic_encoder, init_basic_encoder
+from accflow_tpu.models.raft import (
+    RAFTConfig,
+    basic_motion_encoder,
+    flow_head,
+    init_basic_motion_encoder,
+    init_flow_head,
+    init_sep_conv_gru,
+    sep_conv_gru,
+)
+from accflow_tpu.nn.layers import conv2d, init_conv, relu
+from accflow_tpu.ops.corr import build_corr_pyramid, lookup_corr
+from accflow_tpu.ops.grids import coords_grid
+from accflow_tpu.ops.upsample import convex_upsample
+
+Params = dict
+
+
+@dataclasses.dataclass(frozen=True)
+class GMAConfig:
+    num_heads: int = 1
+    corr_levels: int = 4
+    corr_radius: int = 4
+    iters: int = 12
+    compute_dtype: str = "bfloat16"
+    hidden_dim: int = 128
+    context_dim: int = 128
+    dim_head: int = 128
+
+    @property
+    def corr_planes(self) -> int:
+        return self.corr_levels * (2 * self.corr_radius + 1) ** 2
+
+
+# ---------------------------------------------------------------------------
+# Attention / Aggregate
+# ---------------------------------------------------------------------------
+
+def init_attention(key: jax.Array, cfg: GMAConfig) -> Params:
+    inner = cfg.num_heads * cfg.dim_head
+    return {"to_qk": init_conv(key, cfg.context_dim, inner * 2, 1, bias=False)}
+
+
+def attention(p: Params, fmap: jnp.ndarray, cfg: GMAConfig) -> jnp.ndarray:
+    """Content-only attention map: (N, H, W, C) -> (N, heads, HW, HW)."""
+    n, h, w, _ = fmap.shape
+    heads, dh = cfg.num_heads, cfg.dim_head
+    qk = conv2d(p["to_qk"], fmap, padding=0)
+    q, k = jnp.split(qk, 2, axis=-1)
+    # (N, HW, heads, dh): torch channel layout (h d) -> heads-major split.
+    q = q.reshape(n, h * w, heads, dh).astype(jnp.float32) * (dh**-0.5)
+    k = k.reshape(n, h * w, heads, dh).astype(jnp.float32)
+    sim = jnp.einsum("nqhd,nkhd->nhqk", q, k, precision="highest")
+    return jax.nn.softmax(sim, axis=-1)
+
+
+def init_aggregate(key: jax.Array, cfg: GMAConfig, dim: int = 128) -> Params:
+    inner = cfg.num_heads * cfg.dim_head
+    p: Params = {
+        "to_v": init_conv(key, dim, inner, 1, bias=False),
+        "gamma": jnp.zeros((1,), jnp.float32),
+    }
+    if dim != inner:
+        p["project"] = init_conv(jax.random.fold_in(key, 1), inner, dim, 1, bias=False)
+    return p
+
+
+def aggregate(p: Params, attn: jnp.ndarray, fmap: jnp.ndarray, cfg: GMAConfig) -> jnp.ndarray:
+    """Apply the (fixed) attention to per-iteration motion features."""
+    n, h, w, c = fmap.shape
+    heads, dh = cfg.num_heads, cfg.dim_head
+    v = conv2d(p["to_v"], fmap, padding=0)
+    v = v.reshape(n, h * w, heads, dh)
+    out = jnp.einsum("nhqk,nkhd->nqhd", attn.astype(v.dtype), v)
+    out = out.reshape(n, h, w, heads * dh)
+    if "project" in p:
+        out = conv2d(p["project"], out, padding=0)
+    return fmap + p["gamma"].astype(fmap.dtype) * out
+
+
+# ---------------------------------------------------------------------------
+# GMA update block
+# ---------------------------------------------------------------------------
+
+def init_gma_update_block(key: jax.Array, cfg: GMAConfig) -> Params:
+    ks = jax.random.split(key, 6)
+    hdim = cfg.hidden_dim
+    return {
+        "encoder": init_basic_motion_encoder(ks[0], cfg.corr_planes),
+        "gru": init_sep_conv_gru(ks[1], hdim, 128 + hdim + hdim),
+        "flow_head": init_flow_head(ks[2], hdim, 256),
+        "mask": {
+            "0": init_conv(ks[3], 128, 256, 3),
+            "2": init_conv(ks[4], 256, 64 * 9, 1),
+        },
+        "aggregator": init_aggregate(ks[5], cfg, dim=128),
+    }
+
+
+def gma_update_block(p: Params, net, inp, corr, flow, attn, cfg: GMAConfig):
+    motion = basic_motion_encoder(p["encoder"], flow, corr)
+    motion_global = aggregate(p["aggregator"], attn, motion, cfg)
+    gru_in = jnp.concatenate([inp, motion, motion_global], axis=-1)
+    net = sep_conv_gru(p["gru"], net, gru_in)
+    delta = flow_head(p["flow_head"], net)
+    mask = 0.25 * conv2d(p["mask"]["2"], relu(conv2d(p["mask"]["0"], net)), padding=0)
+    return net, mask, delta
+
+
+# ---------------------------------------------------------------------------
+# RAFT-GMA
+# ---------------------------------------------------------------------------
+
+def init_gma(key: jax.Array, cfg: GMAConfig = GMAConfig()) -> Params:
+    ks = jax.random.split(key, 4)
+    hdim, cdim = cfg.hidden_dim, cfg.context_dim
+    return {
+        "fnet": init_basic_encoder(ks[0], 3, output_dim=256, norm_fn="instance"),
+        "cnet": init_basic_encoder(ks[1], 3, output_dim=hdim + cdim, norm_fn="batch"),
+        "update_block": init_gma_update_block(ks[2], cfg),
+        "att": init_attention(ks[3], cfg),
+    }
+
+
+def gma_forward(
+    params: Params,
+    image1: jnp.ndarray,
+    image2: jnp.ndarray,
+    cfg: GMAConfig = GMAConfig(),
+    iters: Optional[int] = None,
+    flow_init: Optional[jnp.ndarray] = None,
+):
+    """Same contract as raft_forward (see models/raft.py)."""
+    iters = cfg.iters if iters is None else iters
+    cd = jnp.dtype(cfg.compute_dtype)
+    n, h, w, _ = image1.shape
+
+    imgs = jnp.concatenate([image1, image2], axis=0).astype(cd)
+    fmaps = basic_encoder(params["fnet"], imgs, "instance")
+    fmap1, fmap2 = fmaps[:n], fmaps[n:]
+    pyramid = build_corr_pyramid(
+        fmap1.astype(jnp.float32), fmap2.astype(jnp.float32), cfg.corr_levels
+    )
+
+    cnet_out = basic_encoder(params["cnet"], image1.astype(cd), "batch")
+    hdim = cfg.hidden_dim
+    net = jnp.tanh(cnet_out[..., :hdim])
+    inp = jax.nn.relu(cnet_out[..., hdim:])
+    attn = attention(params["att"], inp, cfg).astype(cd)
+
+    coords0 = coords_grid(n, h // 8, w // 8)
+    coords1 = coords0
+    if flow_init is not None:
+        coords1 = coords1 + flow_init.astype(jnp.float32)
+
+    def step(carry, _):
+        net, coords1 = carry
+        coords1 = lax.stop_gradient(coords1)
+        corr = lookup_corr(pyramid, coords1, cfg.corr_radius)
+        flow = coords1 - coords0
+        net, mask, delta = gma_update_block(
+            params["update_block"], net, inp, corr.astype(cd), flow.astype(cd),
+            attn, cfg,
+        )
+        coords1 = coords1 + delta.astype(jnp.float32)
+        flow_up = convex_upsample(coords1 - coords0, mask)
+        return (net, coords1), flow_up
+
+    (net, coords1), flows_up = lax.scan(step, (net, coords1), None, length=iters)
+
+    return {
+        "flow_up": flows_up[-1],
+        "predictions": flows_up,
+        "flow_low": coords1 - coords0,
+    }

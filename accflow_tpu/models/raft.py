@@ -1,0 +1,301 @@
+"""RAFT optical-flow estimator, TPU-native.
+
+Rebuilt from the behavior of networks/raft/raft.py and networks/raft/update.py:
+- fnet: BasicEncoder(256, instance norm) over both frames (batched);
+  features cast to float32 for the correlation volume (raft.py:107-112).
+- cnet: BasicEncoder(256, batch norm) -> tanh(net) | relu(inp) (raft.py:115-119).
+- Iterative updates: corr lookup -> BasicMotionEncoder -> SepConvGRU ->
+  FlowHead (+ 0.25-scaled upsample-mask head), coords detached each step
+  (raft.py:127-144). Here the fixed-iteration loop is a `lax.scan` with
+  `stop_gradient` standing in for .detach(), so the whole forward jits to a
+  single XLA program.
+
+Mixed precision mirrors the reference's autocast boundaries: encoders and
+the update block run in `compute_dtype` (bfloat16 on TPU), the correlation
+volume, coordinate state, and upsampling run float32.
+
+The committed reference forward returns only the final flow (raft.py:146) and
+silently ignores `test_mode`; upstream RAFT returned the 12-prediction list
+in training and (flow_low, flow_up) in test mode. We return everything and
+let callers pick (SURVEY.md §3.4 documents the divergence).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from accflow_tpu.models.encoders import (
+    basic_encoder,
+    init_basic_encoder,
+    init_small_encoder,
+    small_encoder,
+)
+from accflow_tpu.nn.layers import conv2d, init_conv, relu
+from accflow_tpu.ops.corr import build_corr_pyramid, lookup_corr
+from accflow_tpu.ops.grids import coords_grid, upflow8
+from accflow_tpu.ops.upsample import convex_upsample
+
+Params = dict
+
+
+@dataclasses.dataclass(frozen=True)
+class RAFTConfig:
+    small: bool = False
+    corr_levels: int = 4
+    corr_radius: int = 4
+    iters: int = 12
+    compute_dtype: str = "bfloat16"
+
+    @property
+    def hidden_dim(self) -> int:
+        return 96 if self.small else 128
+
+    @property
+    def context_dim(self) -> int:
+        return 64 if self.small else 128
+
+    @property
+    def radius(self) -> int:
+        return 3 if self.small else self.corr_radius
+
+    @property
+    def corr_planes(self) -> int:
+        return self.corr_levels * (2 * self.radius + 1) ** 2
+
+
+# ---------------------------------------------------------------------------
+# Update-block submodules (networks/raft/update.py)
+# ---------------------------------------------------------------------------
+
+def init_flow_head(key: jax.Array, input_dim: int = 128, hidden_dim: int = 256) -> Params:
+    k1, k2 = jax.random.split(key)
+    return {
+        "conv1": init_conv(k1, input_dim, hidden_dim, 3),
+        "conv2": init_conv(k2, hidden_dim, 2, 3),
+    }
+
+
+def flow_head(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    return conv2d(p["conv2"], relu(conv2d(p["conv1"], x)))
+
+
+def init_sep_conv_gru(key: jax.Array, hidden_dim: int, input_dim: int) -> Params:
+    ks = jax.random.split(key, 6)
+    cat = hidden_dim + input_dim
+    return {
+        "convz1": init_conv(ks[0], cat, hidden_dim, (1, 5)),
+        "convr1": init_conv(ks[1], cat, hidden_dim, (1, 5)),
+        "convq1": init_conv(ks[2], cat, hidden_dim, (1, 5)),
+        "convz2": init_conv(ks[3], cat, hidden_dim, (5, 1)),
+        "convr2": init_conv(ks[4], cat, hidden_dim, (5, 1)),
+        "convq2": init_conv(ks[5], cat, hidden_dim, (5, 1)),
+    }
+
+
+def sep_conv_gru(p: Params, h: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Separable (1x5 then 5x1) ConvGRU (update.py:33-60)."""
+    for axis in ("1", "2"):
+        hx = jnp.concatenate([h, x], axis=-1)
+        z = jax.nn.sigmoid(conv2d(p[f"convz{axis}"], hx))
+        r = jax.nn.sigmoid(conv2d(p[f"convr{axis}"], hx))
+        q = jnp.tanh(conv2d(p[f"convq{axis}"], jnp.concatenate([r * h, x], axis=-1)))
+        h = (1.0 - z) * h + z * q
+    return h
+
+
+def init_conv_gru(key: jax.Array, hidden_dim: int, input_dim: int) -> Params:
+    ks = jax.random.split(key, 3)
+    cat = hidden_dim + input_dim
+    return {
+        "convz": init_conv(ks[0], cat, hidden_dim, 3),
+        "convr": init_conv(ks[1], cat, hidden_dim, 3),
+        "convq": init_conv(ks[2], cat, hidden_dim, 3),
+    }
+
+
+def conv_gru(p: Params, h: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    hx = jnp.concatenate([h, x], axis=-1)
+    z = jax.nn.sigmoid(conv2d(p["convz"], hx))
+    r = jax.nn.sigmoid(conv2d(p["convr"], hx))
+    q = jnp.tanh(conv2d(p["convq"], jnp.concatenate([r * h, x], axis=-1)))
+    return (1.0 - z) * h + z * q
+
+
+def init_basic_motion_encoder(key: jax.Array, corr_planes: int) -> Params:
+    ks = jax.random.split(key, 5)
+    return {
+        "convc1": init_conv(ks[0], corr_planes, 256, 1),
+        "convc2": init_conv(ks[1], 256, 192, 3),
+        "convf1": init_conv(ks[2], 2, 128, 7),
+        "convf2": init_conv(ks[3], 128, 64, 3),
+        "conv": init_conv(ks[4], 64 + 192, 128 - 2, 3),
+    }
+
+
+def basic_motion_encoder(p: Params, flow: jnp.ndarray, corr: jnp.ndarray) -> jnp.ndarray:
+    cor = relu(conv2d(p["convc1"], corr, padding=0))
+    cor = relu(conv2d(p["convc2"], cor))
+    flo = relu(conv2d(p["convf1"], flow))
+    flo = relu(conv2d(p["convf2"], flo))
+    out = relu(conv2d(p["conv"], jnp.concatenate([cor, flo], axis=-1)))
+    return jnp.concatenate([out, flow], axis=-1)
+
+
+def init_small_motion_encoder(key: jax.Array, corr_planes: int) -> Params:
+    ks = jax.random.split(key, 4)
+    return {
+        "convc1": init_conv(ks[0], corr_planes, 96, 1),
+        "convf1": init_conv(ks[1], 2, 64, 7),
+        "convf2": init_conv(ks[2], 64, 32, 3),
+        "conv": init_conv(ks[3], 128, 80, 3),
+    }
+
+
+def small_motion_encoder(p: Params, flow: jnp.ndarray, corr: jnp.ndarray) -> jnp.ndarray:
+    cor = relu(conv2d(p["convc1"], corr, padding=0))
+    flo = relu(conv2d(p["convf1"], flow))
+    flo = relu(conv2d(p["convf2"], flo))
+    out = relu(conv2d(p["conv"], jnp.concatenate([cor, flo], axis=-1)))
+    return jnp.concatenate([out, flow], axis=-1)
+
+
+def init_basic_update_block(key: jax.Array, cfg: RAFTConfig, hidden_dim: int = 128) -> Params:
+    ks = jax.random.split(key, 5)
+    return {
+        "encoder": init_basic_motion_encoder(ks[0], cfg.corr_planes),
+        "gru": init_sep_conv_gru(ks[1], hidden_dim, 128 + hidden_dim),
+        "flow_head": init_flow_head(ks[2], hidden_dim, 256),
+        "mask": {
+            "0": init_conv(ks[3], 128, 256, 3),
+            "2": init_conv(ks[4], 256, 64 * 9, 1),
+        },
+    }
+
+
+def basic_update_block(p: Params, net, inp, corr, flow):
+    motion = basic_motion_encoder(p["encoder"], flow, corr)
+    gru_in = jnp.concatenate([inp, motion], axis=-1)
+    net = sep_conv_gru(p["gru"], net, gru_in)
+    delta = flow_head(p["flow_head"], net)
+    mask = 0.25 * conv2d(p["mask"]["2"], relu(conv2d(p["mask"]["0"], net)), padding=0)
+    return net, mask, delta
+
+
+def init_small_update_block(key: jax.Array, cfg: RAFTConfig, hidden_dim: int = 96) -> Params:
+    ks = jax.random.split(key, 3)
+    return {
+        "encoder": init_small_motion_encoder(ks[0], cfg.corr_planes),
+        "gru": init_conv_gru(ks[1], hidden_dim, 82 + 64),
+        "flow_head": init_flow_head(ks[2], hidden_dim, 128),
+    }
+
+
+def small_update_block(p: Params, net, inp, corr, flow):
+    motion = small_motion_encoder(p["encoder"], flow, corr)
+    gru_in = jnp.concatenate([inp, motion], axis=-1)
+    net = conv_gru(p["gru"], net, gru_in)
+    delta = flow_head(p["flow_head"], net)
+    return net, None, delta
+
+
+# ---------------------------------------------------------------------------
+# RAFT
+# ---------------------------------------------------------------------------
+
+def init_raft(key: jax.Array, cfg: RAFTConfig = RAFTConfig()) -> Params:
+    k1, k2, k3 = jax.random.split(key, 3)
+    hdim, cdim = cfg.hidden_dim, cfg.context_dim
+    if cfg.small:
+        return {
+            "fnet": init_small_encoder(k1, output_dim=128, norm_fn="instance"),
+            "cnet": init_small_encoder(k2, output_dim=hdim + cdim, norm_fn="none"),
+            "update_block": init_small_update_block(k3, cfg, hdim),
+        }
+    return {
+        "fnet": init_basic_encoder(k1, 3, output_dim=256, norm_fn="instance"),
+        "cnet": init_basic_encoder(k2, 3, output_dim=hdim + cdim, norm_fn="batch"),
+        "update_block": init_basic_update_block(k3, cfg, hdim),
+    }
+
+
+def raft_features(params: Params, image1, image2, cfg: RAFTConfig):
+    """Encoders + correlation pyramid + initial state (everything outside
+    the iteration loop)."""
+    cd = jnp.dtype(cfg.compute_dtype)
+    imgs = jnp.concatenate([image1, image2], axis=0).astype(cd)
+    if cfg.small:
+        fmaps = small_encoder(params["fnet"], imgs, "instance")
+        cnet_out = small_encoder(params["cnet"], image1.astype(cd), "none")
+    else:
+        fmaps = basic_encoder(params["fnet"], imgs, "instance")
+        cnet_out = basic_encoder(params["cnet"], image1.astype(cd), "batch")
+    n = image1.shape[0]
+    fmap1, fmap2 = fmaps[:n], fmaps[n:]
+    pyramid = build_corr_pyramid(
+        fmap1.astype(jnp.float32), fmap2.astype(jnp.float32), cfg.corr_levels
+    )
+    hdim = cfg.hidden_dim
+    net = jnp.tanh(cnet_out[..., :hdim])
+    inp = jax.nn.relu(cnet_out[..., hdim:])
+    return pyramid, net, inp
+
+
+def raft_forward(
+    params: Params,
+    image1: jnp.ndarray,
+    image2: jnp.ndarray,
+    cfg: RAFTConfig = RAFTConfig(),
+    iters: Optional[int] = None,
+    flow_init: Optional[jnp.ndarray] = None,
+):
+    """Estimate flow image1 -> image2.
+
+    images: (N, H, W, 3) normalized to [-1, 1] (the engines apply
+    2*(x/255)-1, mirroring test_cvo.py:41 / train_acc.py:62).
+    flow_init: optional (N, H/8, W/8, 2) warm start (raft.py:123-124).
+
+    Returns dict:
+      flow_up     — final full-res flow (N, H, W, 2) float32
+      predictions — (iters, N, H, W, 2) per-iteration upsampled flows
+      flow_low    — final 1/8-res flow (N, H/8, W/8, 2)
+    """
+    iters = cfg.iters if iters is None else iters
+    cd = jnp.dtype(cfg.compute_dtype)
+    n, h, w, _ = image1.shape
+
+    pyramid, net, inp = raft_features(params, image1, image2, cfg)
+
+    coords0 = coords_grid(n, h // 8, w // 8)
+    coords1 = coords0
+    if flow_init is not None:
+        coords1 = coords1 + flow_init.astype(jnp.float32)
+
+    upd = small_update_block if cfg.small else basic_update_block
+
+    def step(carry, _):
+        net, coords1 = carry
+        coords1 = lax.stop_gradient(coords1)
+        corr = lookup_corr(pyramid, coords1, cfg.radius)
+        flow = coords1 - coords0
+        net, mask, delta = upd(
+            params["update_block"], net, inp, corr.astype(cd), flow.astype(cd)
+        )
+        coords1 = coords1 + delta.astype(jnp.float32)
+        if mask is None:
+            flow_up = upflow8(coords1 - coords0)
+        else:
+            flow_up = convex_upsample(coords1 - coords0, mask)
+        return (net, coords1), flow_up
+
+    (net, coords1), flows_up = lax.scan(step, (net, coords1), None, length=iters)
+
+    return {
+        "flow_up": flows_up[-1],
+        "predictions": flows_up,
+        "flow_low": coords1 - coords0,
+    }

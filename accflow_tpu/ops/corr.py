@@ -1,0 +1,94 @@
+"""All-pairs 4D correlation volume: construction, pyramid, and lookup.
+
+Reproduces `CorrBlock` (networks/raft/corr.py:7-55):
+- corr(q, k) = <f1(q), f2(k)> / sqrt(dim), built as one batched matmul.
+- 4-level pyramid by 2x average pooling of the (H2, W2) key plane.
+- Lookup: for each query pixel, a (2r+1)^2 window sampled bilinearly around
+  coords/2^level.
+
+Window-offset quirk preserved for checkpoint parity: the reference builds
+`delta = stack(meshgrid(dy, dx), -1)` and adds it to (x, y)-ordered
+centroids (corr.py:32-38), so window entry (a, b) samples
+(x + delta[a], y + delta[b]) — the *x* offset varies along the flattened
+window's outer index. The flattened 81-channel order is a*9+b, levels are
+concatenated level-major. Released checkpoints were trained against this
+layout, so we reproduce it exactly.
+
+TPU notes: the volume is built on the MXU in float32 (`precision highest`)
+because sub-pixel flow precision depends on small correlation differences;
+pooling is an exact reshape-mean; lookup is 4 flattened gathers per level
+(see ops/sampling.py). A fused Pallas lookup kernel can replace the gather
+path; this module is the XLA reference implementation.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import jax.numpy as jnp
+
+from accflow_tpu.ops.sampling import bilinear_sample
+
+
+class CorrPyramid(NamedTuple):
+    """Per-level correlation maps, each (B, H1*W1, Hl, Wl) float32."""
+
+    levels: tuple[jnp.ndarray, ...]
+    h1: int
+    w1: int
+
+
+def avg_pool2(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact 2x2/stride-2 average pool over the trailing two spatial dims
+    of (B, Q, H, W); odd remainder rows/cols are dropped (torch semantics)."""
+    b, q, h, w = x.shape
+    h2, w2 = h // 2, w // 2
+    x = x[:, :, : h2 * 2, : w2 * 2]
+    x = x.reshape(b, q, h2, 2, w2, 2)
+    return x.mean(axis=(3, 5))
+
+
+def build_corr_pyramid(
+    fmap1: jnp.ndarray, fmap2: jnp.ndarray, num_levels: int = 4
+) -> CorrPyramid:
+    """fmap1, fmap2: (B, H, W, C) -> pyramid of (B, H*W, Hl, Wl) float32."""
+    b, h, w, c = fmap1.shape
+    f1 = fmap1.reshape(b, h * w, c).astype(jnp.float32)
+    f2 = fmap2.reshape(b, h * w, c).astype(jnp.float32)
+    corr = jnp.einsum("bqc,bkc->bqk", f1, f2, precision="highest")
+    corr = corr / jnp.sqrt(jnp.float32(c))
+    corr = corr.reshape(b, h * w, h, w)
+
+    levels = [corr]
+    for _ in range(num_levels - 1):
+        corr = avg_pool2(corr)
+        levels.append(corr)
+    return CorrPyramid(levels=tuple(levels), h1=h, w1=w)
+
+
+def lookup_corr(pyramid: CorrPyramid, coords: jnp.ndarray, radius: int = 4) -> jnp.ndarray:
+    """Sample (2r+1)^2 windows at every level around `coords` (B, H, W, 2).
+
+    Returns (B, H, W, num_levels*(2r+1)^2) float32 with the reference's
+    channel layout (level-major; within a level the outer window index
+    carries the x offset — see module docstring).
+    """
+    b, h, w, _ = coords.shape
+    num = 2 * radius + 1
+    delta = jnp.linspace(-radius, radius, num, dtype=jnp.float32)
+    # Window entry (a, b): (x + delta[a], y + delta[b]); flattened a*num+b.
+    dx = jnp.repeat(delta, num)  # outer index a
+    dy = jnp.tile(delta, num)  # inner index b
+    offsets = jnp.stack([dx, dy], axis=-1)  # (num*num, 2)
+
+    q = b * h * w
+    coords_flat = coords.reshape(q, 1, 2).astype(jnp.float32)
+
+    outs = []
+    for i, level in enumerate(pyramid.levels):
+        _, _, hl, wl = level.shape
+        pts = coords_flat / (2.0**i) + offsets[None]  # (Q, 81, 2)
+        img = level.reshape(q, hl, wl, 1)
+        sampled = bilinear_sample(img, pts)  # (Q, 81, 1)
+        outs.append(sampled.reshape(b, h, w, num * num))
+    return jnp.concatenate(outs, axis=-1)

@@ -1,0 +1,55 @@
+"""RAFT-style convex-combination 8x flow upsampling.
+
+Reproduces `RAFT.upsample_flow` (networks/raft/raft.py:81-92) and the
+identical `FlowDecoder.upsample_flow` (networks/AccFlow_.py:27-38):
+
+    out[n, c, 8i+r, 8j+s] = sum_k softmax_k(mask)[n, k, r, s, i, j]
+                            * 8 * flow_pad[n, c, i + ky(k) - 1, j + kx(k) - 1]
+
+where k = ky*3 + kx enumerates the 3x3 neighborhood (zero padded) and the
+mask channel layout is c = k*64 + r*8 + s (torch .view(N, 1, 9, 8, 8, H, W)).
+
+TPU formulation: the 3x3 neighborhood is materialized as 9 shifted slices
+(pure data movement, fused by XLA) and the convex combination is a single
+einsum on the VPU/MXU — no unfold/gather needed.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import jax.nn
+
+
+def neighborhood3x3(x: jnp.ndarray) -> jnp.ndarray:
+    """Zero-padded 3x3 neighborhoods: (N, H, W, C) -> (N, H, W, 9, C).
+
+    Tap order k = ky*3 + kx, matching torch.nn.functional.unfold([3,3], pad=1).
+    """
+    n, h, w, c = x.shape
+    padded = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    taps = [
+        padded[:, ky : ky + h, kx : kx + w, :]
+        for ky in range(3)
+        for kx in range(3)
+    ]
+    return jnp.stack(taps, axis=3)
+
+
+def convex_upsample(flow: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Upsample flow (N, H, W, 2) to (N, 8H, 8W, 2) via learned convex weights.
+
+    mask: (N, H, W, 576) with channel layout (k, r, s) = (3x3 tap, sub-row,
+    sub-col) — the NHWC image of the reference's (N, 9*64, H, W) tensor.
+    Computation runs in float32 regardless of input dtype (the reference
+    computes this outside autocast).
+    """
+    n, h, w, _ = flow.shape
+    mask = mask.reshape(n, h, w, 9, 8, 8).astype(jnp.float32)
+    mask = jax.nn.softmax(mask, axis=3)
+
+    nbh = neighborhood3x3(8.0 * flow.astype(jnp.float32))  # (N, H, W, 9, 2)
+    # (N, H, W, 8, 8, 2): convex combination over the 9 taps.
+    up = jnp.einsum("nhwkrs,nhwkc->nhwrsc", mask, nbh, precision="highest")
+    # (i, r, j, s) -> rows 8i+r, cols 8j+s.
+    up = up.transpose(0, 1, 3, 2, 4, 5)  # (N, H, 8, W, 8, 2)
+    return up.reshape(n, 8 * h, 8 * w, 2)

@@ -1,0 +1,59 @@
+"""Optimizer / LR schedule matching the reference recipe.
+
+train_acc.py:72-87 / fine_tune.py: AdamW(lr, weight_decay, eps) +
+OneCycleLR(max_lr=lr, total_steps=num_steps+100, pct_start=0.05,
+anneal_strategy="linear", cycle_momentum=False), plus global-norm grad
+clipping at `clip` (train_acc.py:231).
+
+torch's linear OneCycle has two phases: linear warmup from
+max_lr/div_factor (div_factor=25) over pct_start*total steps, then linear
+anneal to max_lr/div_factor/final_div_factor (final_div_factor=1e4). optax's
+linear_onecycle_schedule has a different 3-phase shape, so we build the
+exact torch schedule from two joined linear segments.
+"""
+
+from __future__ import annotations
+
+import optax
+
+
+def onecycle_linear(
+    max_lr: float,
+    total_steps: int,
+    pct_start: float = 0.05,
+    div_factor: float = 25.0,
+    final_div_factor: float = 1e4,
+) -> optax.Schedule:
+    initial = max_lr / div_factor
+    final = initial / final_div_factor
+    warmup = int(pct_start * total_steps)
+    return optax.join_schedules(
+        [
+            optax.linear_schedule(initial, max_lr, warmup),
+            optax.linear_schedule(max_lr, final, total_steps - warmup),
+        ],
+        boundaries=[warmup],
+    )
+
+
+def make_optimizer(
+    lr: float,
+    num_steps: int,
+    wdecay: float = 1e-5,
+    epsilon: float = 1e-8,
+    clip: float = 1.0,
+    pct_start: float = 0.05,
+):
+    """AdamW + OneCycle + global-norm clip; returns (tx, schedule)."""
+    schedule = onecycle_linear(lr, num_steps + 100, pct_start)
+    tx = optax.chain(
+        optax.clip_by_global_norm(clip),
+        optax.adamw(
+            learning_rate=schedule,
+            b1=0.9,
+            b2=0.999,
+            eps=epsilon,
+            weight_decay=wdecay,
+        ),
+    )
+    return tx, schedule

@@ -1,0 +1,188 @@
+"""Full-model numerical parity vs the PyTorch reference implementation.
+
+These tests import the reference code from /root/reference (read-only),
+initialize the torch models with their default random init, convert the
+state_dict through accflow_tpu.convert, and compare forward outputs.
+They are skipped when the reference tree is absent.
+
+Sizes: images must be >= 128x128 so the reference's 4-level corr pyramid
+never reaches a 1x1 map (its (W-1) grid normalization divides by zero
+there — at the production 512^2 it bottoms out at 8x8).
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference tree not available"
+)
+
+if os.path.isdir(REF) and REF not in sys.path:
+    sys.path.insert(0, REF)
+
+# The reference AccFlow_ imports torchvision.ops.DeformConv2d (CUDA op,
+# torchvision not installed here). Inject a naive-but-exact CPU stand-in
+# implementing torchvision's documented semantics before importing it.
+if "torchvision" not in sys.modules:
+    class _DeformConv2d(torch.nn.Module):
+        def __init__(self, cin, cout, k, stride, pad):
+            super().__init__()
+            assert k == 3 and stride == 1 and pad == 1
+            self.weight = torch.nn.Parameter(torch.randn(cout, cin, 3, 3) * 0.05)
+            self.bias = torch.nn.Parameter(torch.zeros(cout))
+
+        def forward(self, x, offset, mask):
+            n, cin, h, w = x.shape
+            cols = []
+            ys = torch.arange(h, dtype=torch.float32).view(1, h, 1)
+            xs = torch.arange(w, dtype=torch.float32).view(1, 1, w)
+            for k in range(9):
+                ky, kx = k // 3, k % 3
+                py = ys + (ky - 1) + offset[:, 2 * k]
+                px = xs + (kx - 1) + offset[:, 2 * k + 1]
+                gx = 2 * px / max(w - 1, 1) - 1
+                gy = 2 * py / max(h - 1, 1) - 1
+                grid = torch.stack([gx, gy], dim=-1)
+                samp = torch.nn.functional.grid_sample(
+                    x, grid, align_corners=True, padding_mode="zeros"
+                )
+                cols.append(samp * mask[:, k : k + 1])
+            col = torch.cat(cols, dim=1)  # (N, 9*cin, H, W), tap-major
+            wmat = self.weight.permute(2, 3, 1, 0).reshape(9 * cin, -1)
+            out = torch.einsum("nchw,co->nohw", col, wmat)
+            return out + self.bias.view(1, -1, 1, 1)
+
+    tv = types.ModuleType("torchvision")
+    tv_ops = types.ModuleType("torchvision.ops")
+    tv_ops.DeformConv2d = _DeformConv2d
+    tv.ops = tv_ops
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.ops"] = tv_ops
+
+
+def _np(t):
+    return t.detach().cpu().numpy()
+
+
+def nhwc(t):
+    return jnp.asarray(np.moveaxis(_np(t), 1, -1))
+
+
+@pytest.fixture(scope="module")
+def image_pair():
+    rng = np.random.default_rng(42)
+    i1 = rng.uniform(-1, 1, (1, 3, 128, 128)).astype(np.float32)
+    i2 = rng.uniform(-1, 1, (1, 3, 128, 128)).astype(np.float32)
+    return torch.from_numpy(i1), torch.from_numpy(i2)
+
+
+def test_raft_parity(image_pair):
+    import argparse
+    from networks.raft.raft import RAFT
+
+    from accflow_tpu.convert.torch_weights import convert_state_dict
+    from accflow_tpu.models.raft import RAFTConfig, init_raft, raft_forward
+
+    torch.manual_seed(0)
+    model = RAFT(argparse.Namespace(small=False, mixed_precision=False)).eval()
+    i1, i2 = image_pair
+    with torch.no_grad():
+        ref = model(i1, i2, iters=6)
+
+    cfg = RAFTConfig(compute_dtype="float32", iters=6)
+    template = init_raft(jax.random.PRNGKey(0), cfg)
+    params = convert_state_dict(template, model.state_dict())
+    out = raft_forward(params, nhwc(i1), nhwc(i2), cfg)
+
+    ours = np.moveaxis(np.asarray(out["flow_up"]), -1, 1)
+    np.testing.assert_allclose(ours, _np(ref), rtol=1e-3, atol=5e-3)
+
+
+def test_gma_parity(image_pair):
+    import argparse
+    from networks.gma.gma import RAFTGMA
+
+    from accflow_tpu.convert.torch_weights import convert_state_dict
+    from accflow_tpu.models.gma import GMAConfig, init_gma, gma_forward
+
+    torch.manual_seed(1)
+    model = RAFTGMA(
+        argparse.Namespace(
+            num_heads=1,
+            mixed_precision=False,
+            position_only=False,
+            position_and_content=False,
+        )
+    ).eval()
+    # The unused RelPosEmb params are dropped for conversion (content-only).
+    i1, i2 = image_pair
+    with torch.no_grad():
+        ref = model(i1, i2, iters=6)
+
+    cfg = GMAConfig(compute_dtype="float32", iters=6)
+    template = init_gma(jax.random.PRNGKey(0), cfg)
+    sd = {
+        k: v
+        for k, v in model.state_dict().items()
+        if not k.startswith("att.pos_emb")
+    }
+    params = convert_state_dict(template, sd)
+    out = gma_forward(params, nhwc(i1), nhwc(i2), cfg)
+
+    ours = np.moveaxis(np.asarray(out["flow_up"]), -1, 1)
+    np.testing.assert_allclose(ours, _np(ref), rtol=1e-3, atol=5e-3)
+
+
+def test_accflow_parity():
+    import argparse
+    from networks.raft.raft import RAFT
+    from networks.AccFlow_ import AccFlow
+
+    from accflow_tpu.convert.torch_weights import (
+        convert_state_dict,
+        split_accflow_state,
+    )
+    from accflow_tpu.models import FlowEstimator
+    from accflow_tpu.models.accflow import (
+        AccFlowConfig,
+        accflow_forward,
+        init_accflow,
+    )
+    from accflow_tpu.models.raft import RAFTConfig, init_raft, raft_forward
+
+    torch.manual_seed(2)
+    ofe = RAFT(argparse.Namespace(small=False, mixed_precision=False)).eval()
+    model = AccFlow(ofe).eval()
+    model.mixed_precision = False
+
+    rng = np.random.default_rng(7)
+    frames_np = rng.uniform(-1, 1, (4, 1, 3, 128, 128)).astype(np.float32)
+    frames_t = [torch.from_numpy(f) for f in frames_np]
+    with torch.no_grad():
+        ref_outs = model(images=frames_t, test_mode=False)
+
+    sd = model.state_dict()
+    ofe_sd, acc_sd = split_accflow_state(sd)
+
+    rcfg = RAFTConfig(compute_dtype="float32", iters=12)
+    ofe_params = convert_state_dict(init_raft(jax.random.PRNGKey(0), rcfg), ofe_sd)
+    acfg = AccFlowConfig(compute_dtype="float32")
+    acc_params = convert_state_dict(init_accflow(jax.random.PRNGKey(1), acfg), acc_sd)
+
+    frames = jnp.asarray(np.moveaxis(frames_np, 2, -1))
+    ofe_fn = lambda a, b: raft_forward(ofe_params, a, b, rcfg)["flow_up"]
+    outs = accflow_forward(acc_params, ofe_fn, frames, acfg)
+
+    assert outs.shape[0] == len(ref_outs) == 2
+    for i, ref in enumerate(ref_outs):
+        ours = np.moveaxis(np.asarray(outs[i]), -1, 1)
+        np.testing.assert_allclose(ours, _np(ref), rtol=2e-3, atol=2e-2)

@@ -1,0 +1,279 @@
+"""Golden-value tests: accflow_tpu ops vs PyTorch reference semantics.
+
+Each test builds the torch computation inline (mirroring the reference's
+op-level behavior) and checks our NHWC JAX op against it. Torch runs on CPU.
+"""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax.numpy as jnp
+
+from accflow_tpu import ops
+
+
+def nchw(x_nhwc):
+    return torch.from_numpy(np.ascontiguousarray(np.moveaxis(x_nhwc, -1, 1)))
+
+
+def to_nhwc(t):
+    return np.moveaxis(t.detach().numpy(), 1, -1)
+
+
+# ---------------------------------------------------------------------------
+# bilinear_sample vs grid_sample(align_corners=True, padding_mode="zeros")
+# ---------------------------------------------------------------------------
+
+def test_bilinear_sample_matches_grid_sample(rng):
+    b, h, w, c = 2, 13, 17, 3
+    img = rng.standard_normal((b, h, w, c)).astype(np.float32)
+    # Coords spanning in-bounds, sub-pixel, and out-of-bounds regions.
+    coords = rng.uniform(-3.0, max(h, w) + 2.0, size=(b, 9, 11, 2)).astype(np.float32)
+
+    ours = np.asarray(ops.bilinear_sample(jnp.asarray(img), jnp.asarray(coords)))
+
+    # Torch: normalize pixel coords like the reference bilinear_sampler.
+    t_img = nchw(img)
+    xg = torch.from_numpy(coords[..., 0]) * 2.0 / (w - 1) - 1.0
+    yg = torch.from_numpy(coords[..., 1]) * 2.0 / (h - 1) - 1.0
+    grid = torch.stack([xg, yg], dim=-1)
+    ref = F.grid_sample(t_img, grid, align_corners=True, padding_mode="zeros")
+    ref = to_nhwc(ref)
+
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_backwarp_matches_reference(rng):
+    b, h, w, c = 2, 16, 24, 4
+    img = rng.standard_normal((b, h, w, c)).astype(np.float32)
+    flow = (5.0 * rng.standard_normal((b, h, w, 2))).astype(np.float32)
+
+    ours = np.asarray(ops.backwarp(jnp.asarray(img), jnp.asarray(flow)))
+
+    # Reference backwarp: grid + flow, (W-1) normalization, zeros padding.
+    t_img, t_flow = nchw(img), nchw(flow)
+    xx = torch.arange(0, w).view(1, -1).repeat(h, 1)
+    yy = torch.arange(0, h).view(-1, 1).repeat(1, w)
+    grid = torch.cat(
+        [xx.view(1, 1, h, w).repeat(b, 1, 1, 1), yy.view(1, 1, h, w).repeat(b, 1, 1, 1)],
+        1,
+    ).float()
+    vgrid = grid + t_flow
+    vgrid[:, 0] = 2.0 * vgrid[:, 0] / max(w - 1, 1) - 1.0
+    vgrid[:, 1] = 2.0 * vgrid[:, 1] / max(h - 1, 1) - 1.0
+    ref = F.grid_sample(
+        t_img, vgrid.permute(0, 2, 3, 1), mode="bilinear",
+        padding_mode="zeros", align_corners=True,
+    )
+    np.testing.assert_allclose(ours, to_nhwc(ref), rtol=1e-5, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Resize / upflow / downflow
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("scale", ["up", "down"])
+def test_flow_resize_matches_interpolate(rng, scale):
+    b = 2
+    if scale == "up":
+        h, w = 8, 12
+        flow = rng.standard_normal((b, h, w, 2)).astype(np.float32)
+        ours = np.asarray(ops.upflow8(jnp.asarray(flow)))
+        ref = 8 * F.interpolate(
+            nchw(flow), size=(8 * h, 8 * w), mode="bilinear", align_corners=True
+        )
+    else:
+        h, w = 64, 96
+        flow = rng.standard_normal((b, h, w, 2)).astype(np.float32)
+        ours = np.asarray(ops.downflow8(jnp.asarray(flow)))
+        ref = (
+            F.interpolate(
+                nchw(flow), size=(h // 8, w // 8), mode="bilinear", align_corners=True
+            )
+            / 8
+        )
+    np.testing.assert_allclose(ours, to_nhwc(ref), rtol=1e-5, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Convex upsample (RAFT upsample_flow)
+# ---------------------------------------------------------------------------
+
+def torch_upsample_flow(flow, mask):
+    n, _, h, w = flow.shape
+    mask = mask.view(n, 1, 9, 8, 8, h, w)
+    mask = torch.softmax(mask, dim=2)
+    up_flow = F.unfold(8 * flow, [3, 3], padding=1)
+    up_flow = up_flow.view(n, 2, 9, 1, 1, h, w)
+    up_flow = torch.sum(mask * up_flow, dim=2)
+    up_flow = up_flow.permute(0, 1, 4, 2, 5, 3)
+    return up_flow.reshape(n, 2, 8 * h, 8 * w)
+
+
+def test_convex_upsample_matches_raft(rng):
+    b, h, w = 2, 6, 7
+    flow = rng.standard_normal((b, h, w, 2)).astype(np.float32)
+    mask = rng.standard_normal((b, h, w, 576)).astype(np.float32)
+
+    ours = np.asarray(ops.convex_upsample(jnp.asarray(flow), jnp.asarray(mask)))
+    ref = torch_upsample_flow(nchw(flow), nchw(mask))
+    np.testing.assert_allclose(ours, to_nhwc(ref), rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Correlation pyramid + lookup (CorrBlock)
+# ---------------------------------------------------------------------------
+
+def torch_corr_block(fmap1, fmap2, coords, num_levels=4, radius=4):
+    """Inline reimplementation of networks/raft/corr.py semantics."""
+    batch, dim, ht, wd = fmap1.shape
+    f1 = fmap1.view(batch, dim, ht * wd)
+    f2 = fmap2.view(batch, dim, ht * wd)
+    corr = torch.matmul(f1.transpose(1, 2), f2).view(batch, ht, wd, 1, ht, wd)
+    corr = corr / torch.sqrt(torch.tensor(dim).float())
+    corr = corr.reshape(batch * ht * wd, 1, ht, wd)
+    pyramid = [corr]
+    for _ in range(num_levels - 1):
+        corr = F.avg_pool2d(corr, 2, stride=2)
+        pyramid.append(corr)
+
+    r = radius
+    coords = coords.permute(0, 2, 3, 1)
+    b, h1, w1, _ = coords.shape
+    out_pyramid = []
+    for i, corr in enumerate(pyramid):
+        dx = torch.linspace(-r, r, 2 * r + 1)
+        dy = torch.linspace(-r, r, 2 * r + 1)
+        delta = torch.stack(torch.meshgrid(dy, dx, indexing="ij"), axis=-1)
+        centroid = coords.reshape(b * h1 * w1, 1, 1, 2) / 2**i
+        coords_lvl = centroid + delta.view(1, 2 * r + 1, 2 * r + 1, 2)
+        # reference bilinear_sampler
+        hh, ww = corr.shape[-2:]
+        xg, yg = coords_lvl.split([1, 1], dim=-1)
+        xg = 2 * xg / (ww - 1) - 1
+        yg = 2 * yg / (hh - 1) - 1
+        sampled = F.grid_sample(
+            corr, torch.cat([xg, yg], dim=-1), align_corners=True
+        )
+        out_pyramid.append(sampled.view(b, h1, w1, -1))
+    return torch.cat(out_pyramid, dim=-1).permute(0, 3, 1, 2).contiguous()
+
+
+def test_corr_pyramid_lookup_matches_corrblock(rng):
+    b, h, w, c = 2, 16, 16, 16
+    f1 = rng.standard_normal((b, h, w, c)).astype(np.float32)
+    f2 = rng.standard_normal((b, h, w, c)).astype(np.float32)
+    coords = (
+        np.asarray(ops.coords_grid(b, h, w))
+        + rng.uniform(-2, 2, size=(b, h, w, 2)).astype(np.float32)
+    )
+
+    pyr = ops.build_corr_pyramid(jnp.asarray(f1), jnp.asarray(f2), num_levels=4)
+    ours = np.asarray(ops.lookup_corr(pyr, jnp.asarray(coords), radius=4))
+
+    ref = torch_corr_block(nchw(f1), nchw(f2), nchw(coords))
+    np.testing.assert_allclose(ours, to_nhwc(ref), rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Occlusion masks
+# ---------------------------------------------------------------------------
+
+def test_photometric_occ_binary(rng):
+    b, h, w, c = 1, 12, 12, 3
+    f1 = rng.standard_normal((b, h, w, c)).astype(np.float32)
+    f2 = rng.standard_normal((b, h, w, c)).astype(np.float32)
+    flow = rng.standard_normal((b, h, w, 2)).astype(np.float32)
+
+    occ = np.asarray(ops.photometric_occ(jnp.asarray(flow), jnp.asarray(f1), jnp.asarray(f2)))
+    assert occ.shape == (b, h, w, 1)
+    assert set(np.unique(occ)).issubset({0.0, 1.0})
+
+    emap = np.asarray(
+        ops.photometric_occ(jnp.asarray(flow), jnp.asarray(f1), jnp.asarray(f2), binary=False)
+    )
+    assert emap.shape == (b, h, w, c)
+
+
+def test_calc_occ_mask_shapes(rng):
+    b, h, w = 2, 16, 16
+    fflow = (3 * rng.standard_normal((b, h, w, 2))).astype(np.float32)
+    bflow = (3 * rng.standard_normal((b, h, w, 2))).astype(np.float32)
+    occ_bw, occ_fw = ops.calc_occ_mask(jnp.asarray(bflow), jnp.asarray(fflow))
+    assert occ_bw.shape == (b, h, w, 1) and occ_fw.shape == (b, h, w, 1)
+    # Identical zero flows are perfectly consistent -> no occlusion.
+    zero = jnp.zeros((b, h, w, 2))
+    ob, of = ops.calc_occ_mask(zero, zero)
+    assert float(jnp.sum(ob)) == 0.0 and float(jnp.sum(of)) == 0.0
+
+
+# ---------------------------------------------------------------------------
+# Deformable conv vs a naive torch reference (torchvision semantics)
+# ---------------------------------------------------------------------------
+
+def torch_deform_conv3x3(x, offset, mask, weight, bias):
+    """Naive reference following torchvision deform_conv2d_kernel.cpp:
+    offset channel 2k = dy, 2k+1 = dx for tap k = ky*3+kx; bilinear with
+    zeros padding; modulated by sigmoid-free mask (mask passed as-is)."""
+    n, cin, h, w = x.shape
+    cout = weight.shape[0]
+    out = torch.zeros(n, cout, h, w)
+    for b in range(n):
+        for i in range(h):
+            for j in range(w):
+                acc = torch.zeros(cout)
+                for k in range(9):
+                    ky, kx = k // 3, k % 3
+                    py = i + ky - 1 + offset[b, 2 * k, i, j]
+                    px = j + kx - 1 + offset[b, 2 * k + 1, i, j]
+                    y0, x0 = int(np.floor(py)), int(np.floor(px))
+                    fy, fx = float(py - y0), float(px - x0)
+                    val = torch.zeros(cin)
+                    for dy2, wy in ((0, 1 - fy), (1, fy)):
+                        for dx2, wx in ((0, 1 - fx), (1, fx)):
+                            yy, xx = y0 + dy2, x0 + dx2
+                            if 0 <= yy < h and 0 <= xx < w:
+                                val += wy * wx * x[b, :, yy, xx]
+                    val = val * mask[b, k, i, j]
+                    acc += weight[:, :, ky, kx] @ val
+                out[b, :, i, j] = acc + bias
+    return out
+
+
+def test_deform_conv_matches_naive_torch(rng):
+    n, h, w, cin, cout = 1, 5, 6, 4, 3
+    x = rng.standard_normal((n, h, w, cin)).astype(np.float32)
+    offsets = (2.0 * rng.standard_normal((n, h, w, 18))).astype(np.float32)
+    mask = rng.uniform(0, 1, size=(n, h, w, 9)).astype(np.float32)
+    weight_t = rng.standard_normal((cout, cin, 3, 3)).astype(np.float32)
+    bias = rng.standard_normal((cout,)).astype(np.float32)
+
+    ours = np.asarray(
+        ops.deform_conv3x3(
+            jnp.asarray(x),
+            jnp.asarray(offsets),
+            jnp.asarray(mask),
+            jnp.asarray(weight_t.transpose(2, 3, 1, 0)),  # OIHW -> HWIO
+            jnp.asarray(bias),
+        )
+    )
+    ref = torch_deform_conv3x3(
+        nchw(x), nchw(offsets), nchw(mask), torch.from_numpy(weight_t),
+        torch.from_numpy(bias),
+    )
+    np.testing.assert_allclose(ours, to_nhwc(ref), rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# InputPadder
+# ---------------------------------------------------------------------------
+
+def test_input_padder_roundtrip(rng):
+    x = rng.standard_normal((1, 13, 21, 3)).astype(np.float32)
+    padder = ops.InputPadder(x.shape)
+    (padded,) = padder.pad(jnp.asarray(x))
+    assert padded.shape[1] % 8 == 0 and padded.shape[2] % 8 == 0
+    back = np.asarray(padder.unpad(padded))
+    np.testing.assert_allclose(back, x)
