@@ -6,7 +6,12 @@ from accflow_tpu.ops.grids import (  # noqa: F401
 )
 from accflow_tpu.ops.sampling import backwarp, bilinear_sample  # noqa: F401
 from accflow_tpu.ops.upsample import convex_upsample, neighborhood3x3  # noqa: F401
-from accflow_tpu.ops.corr import CorrPyramid, build_corr_pyramid, lookup_corr  # noqa: F401
+from accflow_tpu.ops.corr import (  # noqa: F401
+    CorrPyramid,
+    build_corr_pyramid,
+    lookup_corr,
+    lookup_corr_gather,
+)
 from accflow_tpu.ops.occlusion import calc_occ_mask, photometric_occ  # noqa: F401
 from accflow_tpu.ops.deform import deform_conv3x3  # noqa: F401
 from accflow_tpu.ops.padding import InputPadder  # noqa: F401

@@ -66,9 +66,21 @@ def build_corr_pyramid(
     return CorrPyramid(levels=tuple(levels), h1=h, w1=w)
 
 
-def lookup_corr(pyramid: CorrPyramid, coords: jnp.ndarray, radius: int = 4) -> jnp.ndarray:
-    """Sample (2r+1)^2 windows at every level around `coords` (B, H, W, 2).
+def build_corr_single_scale(
+    fmap1: jnp.ndarray, fmap2: jnp.ndarray
+) -> CorrPyramid:
+    """Single-level correlation (reference CorrBlockSingleScale,
+    networks/gma/corr.py:61-99 — an unused ablation variant, kept for API
+    completeness). Same layout as the pyramid with one level."""
+    return build_corr_pyramid(fmap1, fmap2, num_levels=1)
 
+
+def lookup_corr_gather(
+    pyramid: CorrPyramid, coords: jnp.ndarray, radius: int = 4
+) -> jnp.ndarray:
+    """Gather-based reference lookup (see lookup_corr for the fast path).
+
+    Samples (2r+1)^2 windows at every level around `coords` (B, H, W, 2).
     Returns (B, H, W, num_levels*(2r+1)^2) float32 with the reference's
     channel layout (level-major; within a level the outer window index
     carries the x offset — see module docstring).
@@ -91,4 +103,54 @@ def lookup_corr(pyramid: CorrPyramid, coords: jnp.ndarray, radius: int = 4) -> j
         img = level.reshape(q, hl, wl, 1)
         sampled = bilinear_sample(img, pts)  # (Q, 81, 1)
         outs.append(sampled.reshape(b, h, w, num * num))
+    return jnp.concatenate(outs, axis=-1)
+
+
+def _window_weights(centers: jnp.ndarray, size: int) -> jnp.ndarray:
+    """Separable bilinear weights: centers (Q, K) -> (Q, K, size) where
+    weight[q, k, y] = max(0, 1 - |y - centers[q, k]|).
+
+    This is exactly grid_sample's align_corners=True + zeros-padding
+    behavior along one axis: for in-range centers the two neighboring
+    integer positions get (1-frac, frac); out-of-range corners fall off
+    the [0, size) support and contribute nothing."""
+    ys = jnp.arange(size, dtype=jnp.float32)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(ys[None, None, :] - centers[..., None]))
+
+
+def lookup_corr(
+    pyramid: CorrPyramid, coords: jnp.ndarray, radius: int = 4
+) -> jnp.ndarray:
+    """Matmul-based corr lookup — the TPU-native fast path.
+
+    Key observation: every query pixel samples a (2r+1)^2 bilinear window
+    from ITS OWN (hl, wl) correlation map, and bilinear interpolation is
+    separable, so the whole lookup is two small batched contractions on
+    the MXU instead of scattered gathers:
+
+        tmp[q, b, x] = sum_y  Wy[q, b, y] * corr[q, y, x]
+        out[q, a, b] = sum_x  Wx[q, a, x] * tmp[q, b, x]
+
+    with Wy/Wx the tent-function weights above. Numerically identical to
+    lookup_corr_gather (same zeros-padding semantics); same channel
+    layout: level-major, then a (x offset), then b (y offset).
+    """
+    b, h, w, _ = coords.shape
+    num = 2 * radius + 1
+    delta = jnp.linspace(-radius, radius, num, dtype=jnp.float32)
+
+    q = b * h * w
+    cf = coords.reshape(q, 2).astype(jnp.float32)
+
+    outs = []
+    for i, level in enumerate(pyramid.levels):
+        _, _, hl, wl = level.shape
+        cx = cf[:, 0:1] / (2.0**i) + delta[None]  # (Q, 9) tap x-centers
+        cy = cf[:, 1:2] / (2.0**i) + delta[None]  # (Q, 9) tap y-centers
+        wx = _window_weights(cx, wl)  # (Q, 9, wl)
+        wy = _window_weights(cy, hl)  # (Q, 9, hl)
+        corr = level.reshape(q, hl, wl)
+        tmp = jnp.einsum("qby,qyx->qbx", wy, corr, precision="highest")
+        out = jnp.einsum("qax,qbx->qab", wx, tmp, precision="highest")
+        outs.append(out.reshape(b, h, w, num * num))
     return jnp.concatenate(outs, axis=-1)

@@ -1,0 +1,215 @@
+"""Estimator (RAFT/GMA) fine-tuning engine (reference fine_tune.py).
+
+Recipe parity:
+- data: CVO clean+final with all four flow-key groups (fine_tune.py:132);
+- each step randomly picks one task — interval in [1,7), direction +/-1 —
+  selecting (input pair, GT) among local fwd/bwd and cross-frame fwd/bwd
+  flows (fine_tune.py:208-222);
+- gamma-weighted sequence loss over the prediction sequence, gamma=0.85
+  (restoring upstream semantics — the committed reference degenerates
+  here, SURVEY.md §3.4);
+- same noise aug / AdamW / OneCycle / clip as the accumulator recipe;
+- validation: direct imgs[-1] -> imgs[0] flow with 20 iters vs bflows[-1],
+  capped at valid_sample batches (fine_tune.py:262-279).
+
+The per-step task selection runs on host (a python RNG choosing which
+channel slices to feed); the jitted SPMD step always sees identical
+shapes, so there is exactly one compiled program.
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from accflow_tpu.data.cvo import BatchIterator, fetch_train_dataset, fetch_valid_dataset
+from accflow_tpu.data.prefetch import device_prefetch
+from accflow_tpu.models import build_flow_estimator
+from accflow_tpu.parallel.mesh import batch_sharding, make_mesh, shard_params
+from accflow_tpu.train.checkpoint import CheckpointManager
+from accflow_tpu.train.engine import TrainState, pad_batch, reference_noise
+from accflow_tpu.train.loss import sequence_loss_raft
+from accflow_tpu.train.optim import make_optimizer
+from accflow_tpu.utils.logging import Timer, get_timestamp, setup_logger
+
+ALL_FLOW_KEYS = ["fflows", "bflows", "delta_fflows", "delta_bflows"]
+
+
+def select_pair(batch, rng: np.random.Generator):
+    """Random task selection (fine_tune.py:208-222) on raw channel-cat
+    arrays. Returns (img1_u8, img2_u8, label_flow) slices."""
+    imgs = batch["imgs"]
+
+    def frame(i):
+        return imgs[..., 3 * i : 3 * i + 3]
+
+    def flow(key, i):
+        return batch[key][..., 2 * i : 2 * i + 2]
+
+    interval = int(rng.integers(1, 7))
+    direction = int(rng.choice([-1, 1]))
+    if interval * direction == 1:
+        return frame(0), frame(1), flow("delta_fflows", 0)
+    if interval * direction == -1:
+        return frame(1), frame(0), flow("delta_bflows", 0)
+    if direction == 1:
+        return frame(0), frame(interval), flow("fflows", interval - 2)
+    return frame(interval), frame(0), flow("bflows", interval - 2)
+
+
+def make_finetune_step(est, tx, add_noise: bool, gamma: float):
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, img1, img2, label, key):
+        i1 = 2.0 * (img1.astype(jnp.float32) / 255.0) - 1.0
+        i2 = 2.0 * (img2.astype(jnp.float32) / 255.0) - 1.0
+        if add_noise:
+            noise = reference_noise(key, i1.shape)
+            i1, i2 = i1 + noise, i2 + noise
+
+        def loss_fn(params):
+            out = est.forward(params, i1, i2, iters=12)
+            return sequence_loss_raft(out["predictions"], label, gamma)
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss, metrics
+
+    @jax.jit
+    def valid_step(params, imgs, bflows):
+        n_frames = imgs.shape[-1] // 3
+        i1 = 2.0 * (imgs[..., 3 * (n_frames - 1) :].astype(jnp.float32) / 255.0) - 1.0
+        i2 = 2.0 * (imgs[..., :3].astype(jnp.float32) / 255.0) - 1.0
+        label = bflows[..., -2:]
+        out = est.forward(params, i1, i2, iters=20)
+        epe = jnp.sqrt(jnp.sum((out["flow_up"] - label) ** 2, axis=-1))
+        return epe.mean(axis=(1, 2)), out["flow_up"]
+
+    return train_step, valid_step
+
+
+def fine_tune(opt, max_steps: int | None = None):
+    """Fine-tune RAFT/GMA on CVO. opt mirrors configs/{RAFT,GMA}.yml plus
+    dataset_root. Returns the final TrainState."""
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    batch = opt.batch_per_gpu * n_dev
+    gamma = opt.get("gamma", 0.85)
+
+    log_dir = opt.get("log_dir", f"./logs/{opt.exp_name}")
+    ckpt_dir = opt.get("ckpt_dir", f"./checkpoints/{opt.exp_name}")
+    if opt.get("resume") is None and osp.isdir(log_dir):
+        os.rename(log_dir, log_dir + "_archived_" + get_timestamp())
+    os.makedirs(log_dir, exist_ok=True)
+    logger = setup_logger("accflow_ft", log_dir, "finetune_" + opt.exp_name, tofile=True)
+
+    train_dst = fetch_train_dataset(
+        opt.dataset_root, ALL_FLOW_KEYS, crop_size=opt.image_size, split="clean+final"
+    )
+    valid_dst = fetch_valid_dataset(opt.dataset_root, ["bflows"], split="clean")
+    sample_per_epoch = len(train_dst) // batch + 1
+    num_steps = sample_per_epoch * opt.epochs
+    logger.info(
+        "Fine-tune on %d samples, batch %d over %d device(s), %d total steps",
+        len(train_dst), batch, n_dev, num_steps,
+    )
+
+    est = build_flow_estimator(opt.exp_name, compute_dtype=opt.get("compute_dtype", "bfloat16"))
+    if opt.get("init_params") is not None:
+        params = opt.init_params
+    elif opt.get("flow_pretrained"):
+        from accflow_tpu.convert.torch_weights import load_flow_estimator_checkpoint
+
+        params = load_flow_estimator_checkpoint(
+            opt.flow_pretrained, est.init(jax.random.PRNGKey(0))
+        )
+        logger.info("Initialized from %s", opt.flow_pretrained)
+    else:
+        params = est.init(jax.random.PRNGKey(opt.get("seed", 0)))
+
+    tx, schedule = make_optimizer(opt.lr, num_steps, opt.wdecay, opt.epsilon, opt.clip)
+    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    state = shard_params(mesh, state)
+    in_shard = lambda b: {
+        k: jax.device_put(v, batch_sharding(mesh, v.ndim)) for k, v in b.items()
+    }
+
+    train_step, valid_step = make_finetune_step(est, tx, opt.add_noise, gamma)
+    ckpt = CheckpointManager(ckpt_dir, keep=4)
+    current_step = 0
+    if opt.get("resume") is not None:
+        state = ckpt.restore(state)
+        current_step = int(state.step)
+
+    key = jax.random.PRNGKey(opt.get("seed", 0) + 1)
+    host_rng = np.random.default_rng(opt.get("seed", 0) + 2)
+    timer = Timer()
+    losses, epes = [], []
+    best_val_epe = 1e10
+    best_val_step = current_step
+    stop = False
+
+    for epoch in range(current_step // sample_per_epoch, opt.epochs):
+        if stop:
+            break
+        it = BatchIterator(
+            train_dst, batch, shuffle=True, drop_last=True,
+            seed=opt.get("seed", 0), epoch=epoch,
+        )
+        timer.tick()
+        for batch_np in device_prefetch(iter(it), depth=2, transform=in_shard):
+            current_step += 1
+            img1, img2, label = select_pair(batch_np, host_rng)
+            key, sub = jax.random.split(key)
+            state, loss, metrics = train_step(state, img1, img2, label, sub)
+            losses.append(float(loss))
+            epes.append(float(metrics["epe"]))
+            timer.tick()
+
+            if current_step % opt.log_freq == 0 or current_step < 25:
+                avg_time = timer.get_average_and_reset()
+                logger.info(
+                    "<epoch:%2d, iter:%6d, t:%.2fs, loss:%.3f, epe:%.3f, lr:%.2e>",
+                    epoch, current_step, avg_time,
+                    sum(losses) / len(losses), sum(epes) / len(epes),
+                    float(schedule(current_step)),
+                )
+                losses, epes = [], []
+
+            if current_step % opt.valid_freq == 0 or current_step == num_steps - 1:
+                epes_sum, epes_n = 0.0, 0
+                vit = BatchIterator(valid_dst, batch, shuffle=False, drop_last=False)
+                for vid, vb in enumerate(vit):
+                    vb, n_valid = pad_batch(vb, batch)
+                    vb = in_shard(vb)
+                    per_sample, _ = valid_step(state.params, vb["imgs"], vb["bflows"])
+                    epes_sum += float(np.asarray(per_sample)[:n_valid].sum())
+                    epes_n += n_valid
+                    if vid >= opt.get("valid_sample", 500):
+                        break
+                epe = epes_sum / max(epes_n, 1)
+                ckpt.save(current_step, state)
+                if epe <= best_val_epe:
+                    best_val_epe, best_val_step = epe, current_step
+                logger.info(
+                    "Validation EPE: %.3f, best: %.3f (step %d)",
+                    epe, best_val_epe, best_val_step,
+                )
+
+            if max_steps is not None and current_step >= max_steps:
+                stop = True
+                break
+
+    ckpt.save(max(current_step, 1), state)
+    ckpt.close()
+    logger.info("Finish fine-tuning")
+    return state

@@ -26,13 +26,16 @@ def onecycle_linear(
 ) -> optax.Schedule:
     initial = max_lr / div_factor
     final = initial / final_div_factor
-    warmup = int(pct_start * total_steps)
+    # torch's phase boundaries: warmup ends at step pct*total - 1, the
+    # anneal reaches final_lr at step total - 1 (OneCycleLR._schedule_phases).
+    warmup_end = max(int(round(pct_start * total_steps)) - 1, 1)
+    anneal_steps = max(total_steps - 1 - warmup_end, 1)
     return optax.join_schedules(
         [
-            optax.linear_schedule(initial, max_lr, warmup),
-            optax.linear_schedule(max_lr, final, total_steps - warmup),
+            optax.linear_schedule(initial, max_lr, warmup_end),
+            optax.linear_schedule(max_lr, final, anneal_steps),
         ],
-        boundaries=[warmup],
+        boundaries=[warmup_end],
     )
 
 

@@ -1,0 +1,70 @@
+"""Profiling / tracing (SURVEY.md §5.1 rebuild).
+
+The reference has wall-clock timers only. Here: JAX profiler traces
+(viewable in TensorBoard / Perfetto) plus an honest device-step timer.
+
+Timing caveat baked in: on remote-tunneled backends `block_until_ready`
+can return before execution finishes, so `device_step_time` times K vs 2K
+iterations chained *inside one compiled program* and reads back a scalar
+— dispatch and sync overheads cancel in the difference.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+
+@contextlib.contextmanager
+def trace(log_dir: str):
+    """jax.profiler trace context: `with trace("/tmp/trace"): step()`."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def device_step_time(
+    step_fn: Callable,
+    args,
+    iters: int = 8,
+    chain: Callable | None = None,
+) -> float:
+    """Seconds per step_fn(*args) call, measured robustly.
+
+    step_fn's outputs must be convertible to a scalar via jnp.sum. `chain`
+    maps (outputs, args) -> next args to create a data dependency between
+    iterations (default: reuse args, which still orders execution through
+    the fori_loop carry of the checksum)."""
+
+    def make_loop(k: int):
+        def loop(args):
+            def body(i, carry):
+                checksum, args = carry
+                out = step_fn(*args)
+                s = jnp.sum(jnp.asarray(jax.tree.leaves(out)[0])).astype(jnp.float32)
+                if chain is not None:
+                    args = chain(out, args, s)
+                return (checksum + s, args)
+
+            checksum, _ = jax.lax.fori_loop(0, k, body, (jnp.float32(0.0), args))
+            return checksum
+
+        return jax.jit(loop)
+
+    f1 = make_loop(iters)
+    f2 = make_loop(2 * iters)
+    # compile + warm both
+    float(f1(args))
+    float(f2(args))
+    t0 = time.perf_counter()
+    float(f1(args))
+    t1 = time.perf_counter()
+    float(f2(args))
+    t2 = time.perf_counter()
+    return max((t2 - t1) - (t1 - t0), 1e-9) / iters

@@ -1,0 +1,108 @@
+"""Headline benchmark: AccFlow(+RAFT) long-range flow throughput on one chip.
+
+Protocol: the reference's CVO-6 serving shape — 7-frame 512x512 clips,
+AccFlow backward accumulation over a frozen RAFT (12 iters/pair), i.e. per
+clip 11 OFE pair-estimates (batched 3+2x4) + 5 accumulation-cell passes
+(test_cvo.py -acc acc -ofe raft). Metric: processed video frames per
+second per chip (clips/s * 7). bfloat16 compute, float32 flow state.
+
+vs_baseline: the reference publishes no numbers (BASELINE.md), so the
+denominator is an estimate of the PyTorch reference on its own 2-GPU-class
+hardware: RAFT@512^2/12iters ~ 60ms/pair on a modern CUDA GPU => ~11 batched
+pair-passes + 5 cells ~ 0.5s/clip => ~14 frames/s/GPU. Recorded here as
+REFERENCE_FRAMES_PER_SEC so the ratio is reproducible; replace with a
+measured number when reference hardware is available.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_FRAMES_PER_SEC = 14.0
+
+BATCH = 1
+SIZE = 512
+FRAMES = 7
+WARMUP = 2
+ITERS = 5
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from accflow_tpu.models import build_flow_estimator
+    from accflow_tpu.models.accflow import (
+        AccFlowConfig,
+        accflow_forward,
+        init_accflow,
+    )
+
+    est = build_flow_estimator("raft", compute_dtype="bfloat16")
+    acfg = AccFlowConfig(compute_dtype="bfloat16")
+    ofe_params = est.init(jax.random.PRNGKey(0))
+    acc_params = init_accflow(jax.random.PRNGKey(1), acfg)
+
+    def run(acc_params, ofe_params, images):
+        ofe_fn = lambda a, b: est.forward(ofe_params, a, b)["flow_up"]
+        return accflow_forward(acc_params, ofe_fn, images, acfg)
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(
+        rng.uniform(-1.0, 1.0, (FRAMES, BATCH, SIZE, SIZE, 3)).astype(np.float32)
+    )
+
+    # Honest timing through the remote-tunnel backend: block_until_ready
+    # can return before execution completes here, so K clips are chained
+    # INSIDE one compiled program (each iteration's input depends on the
+    # previous output) and a scalar checksum is read back; timing K vs 2K
+    # cancels dispatch/sync overheads (see utils/profiling.py).
+    def make_loop(k: int):
+        def loop(acc_params, ofe_params, images):
+            def body(i, carry):
+                checksum, images = carry
+                outs = run(acc_params, ofe_params, images)
+                s = jnp.sum(outs[-1][0, 0, 0]).astype(jnp.float32)
+                # Data dependency: nudge the input by an invisible epsilon
+                # of the output so iterations can't be reordered/elided.
+                images = images + s * 1e-30
+                return (checksum + s, images)
+
+            checksum, _ = jax.lax.fori_loop(
+                0, k, body, (jnp.float32(0.0), images)
+            )
+            return checksum
+
+        return jax.jit(loop)
+
+    k = ITERS
+    f1, f2 = make_loop(k), make_loop(2 * k)
+    float(f1(acc_params, ofe_params, images))  # compile + warm
+    float(f2(acc_params, ofe_params, images))
+    t0 = time.perf_counter()
+    float(f1(acc_params, ofe_params, images))
+    t1 = time.perf_counter()
+    float(f2(acc_params, ofe_params, images))
+    t2 = time.perf_counter()
+    dt = max((t2 - t1) - (t1 - t0), 1e-9) / k
+
+    frames_per_sec = BATCH * FRAMES / dt
+    print(
+        json.dumps(
+            {
+                "metric": "accflow_raft_frames_per_sec_512",
+                "value": round(frames_per_sec, 3),
+                "unit": "frames/s/chip",
+                "vs_baseline": round(frames_per_sec / REFERENCE_FRAMES_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

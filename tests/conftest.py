@@ -34,3 +34,7 @@ def cpu_devices():
     devs = jax.devices()
     assert devs[0].platform == "cpu", f"expected cpu backend, got {devs}"
     return devs
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running end-to-end tests")

@@ -1,0 +1,40 @@
+"""Evaluation engine test: direct RAFT on synthetic constant-motion clips.
+
+With real (converted or trained) weights this is the CVO-6 benchmark; with
+random weights we only assert the protocol runs end-to-end and produces
+finite EPEs and the result file."""
+
+import os.path as osp
+
+import numpy as np
+import pytest
+
+from accflow_tpu.data.synthetic import write_synthetic_cvor
+from accflow_tpu.train.evaluate import evaluate_cvo
+
+
+@pytest.mark.slow
+def test_evaluate_direct_raft(tmp_path, monkeypatch):
+    root = str(tmp_path / "cvor")
+    write_synthetic_cvor(root, num_train=1, num_test=3, h=64, w=64)
+    monkeypatch.chdir(tmp_path)
+
+    res = evaluate_cvo(
+        "direct|raft", root, split="clean", batch=2, iters=2,
+        compute_dtype="float32",
+    )
+    assert set(res) == {"all", "occ", "vis"}
+    assert all(np.isfinite(v) for v in res.values())
+    assert osp.exists(tmp_path / "test_result_clean_E6.txt")
+
+
+@pytest.mark.slow
+def test_evaluate_acc_raft(tmp_path, monkeypatch):
+    root = str(tmp_path / "cvor")
+    write_synthetic_cvor(root, num_train=1, num_test=2, h=64, w=64)
+    monkeypatch.chdir(tmp_path)
+    res = evaluate_cvo(
+        "acc|raft", root, split="final", batch=2, iters=2,
+        compute_dtype="float32",
+    )
+    assert all(np.isfinite(v) for v in res.values())

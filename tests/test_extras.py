@@ -1,0 +1,110 @@
+"""Tests for auxiliary components: softmax splatting, extra losses, flow
+viz, frame IO, config, checkpoint manager, converted-params store."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from accflow_tpu.ops.softsplat import softsplat
+from accflow_tpu.train.losses_extra import get_loss, l1_loss, multiscale_loss
+
+
+def test_softsplat_identity_flow(rng):
+    img = rng.standard_normal((2, 8, 8, 3)).astype(np.float32)
+    zero = np.zeros((2, 8, 8, 2), np.float32)
+    out = np.asarray(softsplat(jnp.asarray(img), jnp.asarray(zero), mode="average"))
+    np.testing.assert_allclose(out, img, rtol=1e-5, atol=1e-5)
+
+
+def test_softsplat_integer_shift(rng):
+    img = rng.standard_normal((1, 8, 8, 1)).astype(np.float32)
+    flow = np.zeros((1, 8, 8, 2), np.float32)
+    flow[..., 0] = 2.0  # shift right by 2
+    out = np.asarray(softsplat(jnp.asarray(img), jnp.asarray(flow), mode="average"))
+    np.testing.assert_allclose(out[0, :, 2:, 0], img[0, :, :-2, 0], rtol=1e-5, atol=1e-5)
+    assert np.allclose(out[0, :, :2, 0], 0.0)  # nothing splatted there
+
+
+def test_softsplat_softmax_prefers_high_metric(rng):
+    # Two source pixels colliding on one target; softmax mode should weight
+    # the one with (much) higher metric.
+    img = np.zeros((1, 1, 4, 1), np.float32)
+    img[0, 0, 0, 0] = 1.0
+    img[0, 0, 1, 0] = 3.0
+    flow = np.zeros((1, 1, 4, 2), np.float32)
+    flow[0, 0, 0, 0] = 2.0  # -> x=2
+    flow[0, 0, 1, 0] = 1.0  # -> x=2
+    metric = np.zeros((1, 1, 4, 1), np.float32)
+    metric[0, 0, 1, 0] = 20.0
+    out = np.asarray(
+        softsplat(jnp.asarray(img), jnp.asarray(flow), jnp.asarray(metric), "softmax")
+    )
+    assert abs(out[0, 0, 2, 0] - 3.0) < 1e-3
+
+
+def test_loss_factory():
+    assert get_loss("L1") is l1_loss
+    with pytest.raises(NotImplementedError):
+        get_loss("smooth")
+
+
+def test_multiscale_loss_scales_target(rng):
+    target = rng.standard_normal((1, 16, 16, 2)).astype(np.float32)
+    preds = [
+        jnp.asarray(rng.standard_normal((1, 16, 16, 2)).astype(np.float32)),
+        jnp.asarray(rng.standard_normal((1, 8, 8, 2)).astype(np.float32)),
+    ]
+    loss = multiscale_loss(preds, jnp.asarray(target))
+    assert np.isfinite(float(loss))
+
+
+def test_flow_viz_shapes(rng):
+    from accflow_tpu.utils.flow_viz import flow_to_image
+
+    img = flow_to_image(rng.standard_normal((16, 16, 2)).astype(np.float32))
+    assert img.shape == (16, 16, 3) and img.dtype == np.uint8
+
+
+def test_flo_roundtrip(tmp_path, rng):
+    from accflow_tpu.utils.frame_io import read_flow, write_flow
+
+    flow = rng.standard_normal((8, 10, 2)).astype(np.float32)
+    path = str(tmp_path / "x.flo")
+    write_flow(path, flow)
+    back = read_flow(path)
+    np.testing.assert_allclose(back, flow, rtol=1e-6)
+
+
+def test_config_attrdict(tmp_path):
+    from accflow_tpu.utils.config import parse_options
+
+    p = tmp_path / "c.yml"
+    p.write_text("exp_name: Foo\nlr: 1.0e-4\nnested:\n  a: [1, 2]\n")
+    opt = parse_options(str(p))
+    assert opt.exp_name == "Foo" and opt.nested.a == [1, 2]
+    assert opt.get("missing") is None
+
+
+def test_params_store_roundtrip(tmp_path, rng):
+    from accflow_tpu.convert.store import load_params, save_params
+
+    tree = {"a": {"w": jnp.asarray(rng.standard_normal((3, 3)).astype(np.float32))},
+            "b": jnp.asarray(np.float32(2.0))}
+    path = str(tmp_path / "p.npz")
+    save_params(path, tree)
+    back = load_params(path)
+    np.testing.assert_allclose(np.asarray(back["a"]["w"]), np.asarray(tree["a"]["w"]))
+
+
+def test_checkpoint_manager_roundtrip(tmp_path):
+    from accflow_tpu.train.checkpoint import CheckpointManager
+
+    state = {"w": jnp.ones((4,)), "step": jnp.asarray(3)}
+    mgr = CheckpointManager(str(tmp_path / "ck"), keep=2)
+    mgr.save(1, state)
+    mgr.save(2, {"w": jnp.ones((4,)) * 2, "step": jnp.asarray(5)})
+    assert mgr.latest_step() == 2
+    back = mgr.restore(state)
+    np.testing.assert_allclose(np.asarray(back["w"]), 2 * np.ones(4))
+    mgr.close()

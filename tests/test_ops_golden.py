@@ -277,3 +277,19 @@ def test_input_padder_roundtrip(rng):
     assert padded.shape[1] % 8 == 0 and padded.shape[2] % 8 == 0
     back = np.asarray(padder.unpad(padded))
     np.testing.assert_allclose(back, x)
+
+
+def test_lookup_corr_mm_equals_gather(rng):
+    """The matmul-based fast lookup must match the gather-based reference
+    path bit-for-tolerance (same zeros-padding semantics)."""
+    b, h, w, c = 2, 16, 16, 16
+    f1 = rng.standard_normal((b, h, w, c)).astype(np.float32)
+    f2 = rng.standard_normal((b, h, w, c)).astype(np.float32)
+    coords = (
+        np.asarray(ops.coords_grid(b, h, w))
+        + rng.uniform(-20, 20, size=(b, h, w, 2)).astype(np.float32)
+    )
+    pyr = ops.build_corr_pyramid(jnp.asarray(f1), jnp.asarray(f2), num_levels=4)
+    fast = np.asarray(ops.lookup_corr(pyr, jnp.asarray(coords), radius=4))
+    ref = np.asarray(ops.lookup_corr_gather(pyr, jnp.asarray(coords), radius=4))
+    np.testing.assert_allclose(fast, ref, rtol=1e-4, atol=1e-4)
