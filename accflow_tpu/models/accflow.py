@@ -55,6 +55,10 @@ class AccFlowConfig:
     hidden: int = 128
     ofe_iters: int = 12
     compute_dtype: str = "bfloat16"
+    # Rematerialize each accumulation cell in the backward pass (trade
+    # FLOPs for HBM) — lets the training batch scale past what storing all
+    # five cells' activations allows.
+    remat: bool = False
 
 
 # ---------------------------------------------------------------------------
@@ -263,8 +267,12 @@ def accflow_forward(
         raise ValueError("AccFlow needs at least 3 frames")
     In = images[0]
 
+    cell = _accflow_cell
+    if cfg.remat:
+        cell = jax.checkpoint(_accflow_cell, static_argnums=(1, 6))
+
     # First step (i=2): OFE also estimates the seed flow F_{1,0}.
-    flow, out0 = _accflow_cell(params, ofe, images[2], images[1], In, None, cfg)
+    flow, out0 = cell(params, ofe, images[2], images[1], In, None, cfg)
 
     if t == 3:
         return out0[None]
@@ -272,7 +280,7 @@ def accflow_forward(
     def step(flow, frames):
         I1, I2 = frames
         flow = lax.stop_gradient(flow)
-        flow, out = _accflow_cell(params, ofe, I1, I2, In, flow, cfg)
+        flow, out = cell(params, ofe, I1, I2, In, flow, cfg)
         return flow, out
 
     xs = (images[3:], images[2:-1])

@@ -11,6 +11,7 @@ from accflow_tpu.ops.corr import (  # noqa: F401
     build_corr_pyramid,
     lookup_corr,
     lookup_corr_gather,
+    lookup_corr_patch,
 )
 from accflow_tpu.ops.occlusion import calc_occ_mask, photometric_occ  # noqa: F401
 from accflow_tpu.ops.deform import deform_conv3x3  # noqa: F401

@@ -118,6 +118,71 @@ def _window_weights(centers: jnp.ndarray, size: int) -> jnp.ndarray:
     return jnp.maximum(0.0, 1.0 - jnp.abs(ys[None, None, :] - centers[..., None]))
 
 
+def lookup_corr_patch(
+    pyramid: CorrPyramid, coords: jnp.ndarray, radius: int = 4
+) -> jnp.ndarray:
+    """Patch-based corr lookup.
+
+    All (2r+1)^2 window taps share ONE fractional offset (the window
+    deltas are integers), so the whole window is a bilinear blend of the
+    four (2r+1)^2 integer sub-grids of a (2r+2)^2 patch around
+    floor(coords/2^level). One flattened gather of (2r+2)^2 contiguous-ish
+    values per query replaces 4x(2r+1)^2 scattered corner gathers, and the
+    blend is 4 fused multiply-adds on the VPU. Zeros-padding semantics
+    preserved by masking out-of-range patch entries.
+    """
+    b, h, w, _ = coords.shape
+    num = 2 * radius + 1
+    side = num + 1
+    q = b * h * w
+    cf = coords.reshape(q, 2).astype(jnp.float32)
+
+    dy = jnp.arange(-radius, radius + 2, dtype=jnp.float32)  # side ints
+    dx = jnp.arange(-radius, radius + 2, dtype=jnp.float32)
+
+    outs = []
+    for i, level in enumerate(pyramid.levels):
+        _, _, hl, wl = level.shape
+        cx = cf[:, 0] / (2.0**i)
+        cy = cf[:, 1] / (2.0**i)
+        x0 = jnp.floor(cx)
+        y0 = jnp.floor(cy)
+        fx = (cx - x0)[:, None, None]
+        fy = (cy - y0)[:, None, None]
+
+        # Integer patch coords (Q, side, side): rows carry y, cols x.
+        py = y0[:, None] + dy[None]  # (Q, side)
+        px = x0[:, None] + dx[None]
+        valid = (
+            (py[:, :, None] >= 0)
+            & (py[:, :, None] <= hl - 1)
+            & (px[:, None, :] >= 0)
+            & (px[:, None, :] <= wl - 1)
+        )
+        iy = jnp.clip(py, 0, hl - 1).astype(jnp.int32)
+        ix = jnp.clip(px, 0, wl - 1).astype(jnp.int32)
+        idx = (iy[:, :, None] * wl + ix[:, None, :]).reshape(q, side * side)
+
+        flat = level.reshape(q, hl * wl)
+        patch = jnp.take_along_axis(flat, idx, axis=1).reshape(q, side, side)
+        patch = patch * valid.astype(patch.dtype)
+
+        # out[q, a, b]: a = x offset, b = y offset (reference layout).
+        p00 = patch[:, :num, :num]  # (y0+Δb, x0+Δa)
+        p01 = patch[:, :num, 1:]
+        p10 = patch[:, 1:, :num]
+        p11 = patch[:, 1:, 1:]
+        blend = (
+            (1 - fy) * (1 - fx) * p00
+            + (1 - fy) * fx * p01
+            + fy * (1 - fx) * p10
+            + fy * fx * p11
+        )  # (Q, num(y=b), num(x=a))
+        out = blend.transpose(0, 2, 1).reshape(b, h, w, num * num)
+        outs.append(out)
+    return jnp.concatenate(outs, axis=-1)
+
+
 def lookup_corr(
     pyramid: CorrPyramid, coords: jnp.ndarray, radius: int = 4
 ) -> jnp.ndarray:

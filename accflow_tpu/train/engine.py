@@ -80,8 +80,9 @@ def reference_noise(key: jax.Array, frame_shape) -> jnp.ndarray:
 
 def build_acc_model(opt):
     """(estimator, acc_cfg) from an experiment name like Acc+RAFT-cvo."""
-    est = build_flow_estimator(opt.exp_name, compute_dtype=opt.get("compute_dtype", "bfloat16"))
-    acfg = AccFlowConfig(compute_dtype=opt.get("compute_dtype", "bfloat16"))
+    cd = opt.get("compute_dtype", "bfloat16")
+    est = build_flow_estimator(opt.exp_name, compute_dtype=cd)
+    acfg = AccFlowConfig(compute_dtype=cd, remat=bool(opt.get("remat", False)))
     return est, acfg
 
 

@@ -25,8 +25,9 @@ import numpy as np
 
 REFERENCE_FRAMES_PER_SEC = 14.0
 
-BATCH = 1
-SIZE = 512
+import os
+BATCH = int(os.environ.get("BENCH_BATCH", "1"))
+SIZE = int(os.environ.get("BENCH_SIZE", "512"))
 FRAMES = 7
 WARMUP = 2
 ITERS = 5
@@ -95,7 +96,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "accflow_raft_frames_per_sec_512",
+                "metric": f"accflow_raft_frames_per_sec_{SIZE}",
                 "value": round(frames_per_sec, 3),
                 "unit": "frames/s/chip",
                 "vs_baseline": round(frames_per_sec / REFERENCE_FRAMES_PER_SEC, 3),

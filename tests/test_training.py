@@ -139,3 +139,35 @@ def test_finetune_step_runs(tmp_path):
     )
     state = fine_tune(opt, max_steps=2)
     assert int(state.step) == 2
+
+
+@pytest.mark.slow
+def test_accflow_remat_grads_match(rng):
+    """remat=True must not change gradients (only memory)."""
+    import jax.numpy as jnp
+
+    from accflow_tpu.models import build_flow_estimator
+    from accflow_tpu.models.accflow import (
+        AccFlowConfig,
+        accflow_forward,
+        init_accflow,
+    )
+
+    est = build_flow_estimator("raft", compute_dtype="float32")
+    ofe_params = est.init(jax.random.PRNGKey(0))
+    frames = jnp.asarray(
+        rng.uniform(-1, 1, (4, 1, 64, 64, 3)).astype(np.float32)
+    )
+    ofe_fn = lambda a, b: est.forward(ofe_params, a, b, iters=2)["flow_up"]
+
+    def loss(params, cfg):
+        outs = accflow_forward(params, ofe_fn, frames, cfg)
+        return jnp.abs(outs).mean()
+
+    cfg0 = AccFlowConfig(compute_dtype="float32", remat=False)
+    cfg1 = AccFlowConfig(compute_dtype="float32", remat=True)
+    params = init_accflow(jax.random.PRNGKey(1), cfg0)
+    g0 = jax.grad(loss)(params, cfg0)
+    g1 = jax.grad(loss)(params, cfg1)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
