@@ -11,8 +11,18 @@ from typing import Optional
 
 import jax
 
-from accflow_tpu.models.raft import RAFTConfig, init_raft, raft_forward  # noqa: F401
-from accflow_tpu.models.gma import GMAConfig, init_gma, gma_forward  # noqa: F401
+from accflow_tpu.models.raft import (  # noqa: F401
+    RAFTConfig,
+    init_raft,
+    raft_forward,
+    raft_pairs_forward,
+)
+from accflow_tpu.models.gma import (  # noqa: F401
+    GMAConfig,
+    gma_forward,
+    gma_pairs_forward,
+    init_gma,
+)
 from accflow_tpu.models.accflow import (  # noqa: F401
     AccFlowConfig,
     accflow_forward,
@@ -23,23 +33,43 @@ from accflow_tpu.models.accflow import (  # noqa: F401
 class FlowEstimator:
     """A (config, init, forward) bundle for RAFT or GMA."""
 
-    def __init__(self, name: str, cfg, init_fn, forward_fn):
+    def __init__(self, name: str, cfg, init_fn, forward_fn, pairs_forward_fn=None):
         self.name = name
         self.cfg = cfg
         self._init = init_fn
         self._forward = forward_fn
+        self._pairs_forward = pairs_forward_fn
 
     def init(self, key: jax.Array):
         return self._init(key, self.cfg)
 
     def forward(self, params, image1, image2, iters: Optional[int] = None,
-                flow_init=None):
-        return self._forward(params, image1, image2, self.cfg, iters, flow_init)
+                flow_init=None, final_only: bool = False):
+        return self._forward(
+            params, image1, image2, self.cfg, iters, flow_init, final_only
+        )
+
+    def pairs_fn(self, params, iters=None, final_only: bool = True):
+        """Closure (frames, src_idx, dst_idx) -> (P*N, H, W, 2) flows with
+        deduplicated frame encoding, for AccFlow's fused-OFE path."""
+        if self._pairs_forward is None:
+            return None
+
+        def fn(frames, src_idx, dst_idx):
+            return self._pairs_forward(
+                params, frames, src_idx, dst_idx, self.cfg,
+                iters=iters, final_only=final_only,
+            )
+
+        return fn
 
     def flow_fn(self, params):
-        """Closure (i1, i2) -> final full-res flow, for AccFlow's frozen OFE."""
+        """Closure (i1, i2) -> final full-res flow, for AccFlow's frozen OFE
+        (final_only: skips the 11 unused per-iteration upsamples)."""
         def fn(image1, image2):
-            return self._forward(params, image1, image2, self.cfg)["flow_up"]
+            return self._forward(
+                params, image1, image2, self.cfg, final_only=True
+            )["flow_up"]
         return fn
 
 
@@ -47,8 +77,8 @@ def build_flow_estimator(name: str, compute_dtype: str = "bfloat16") -> FlowEsti
     lname = name.lower()
     if "raft" in lname:
         cfg = RAFTConfig(compute_dtype=compute_dtype)
-        return FlowEstimator(name, cfg, init_raft, raft_forward)
+        return FlowEstimator(name, cfg, init_raft, raft_forward, raft_pairs_forward)
     if "gma" in lname:
         cfg = GMAConfig(compute_dtype=compute_dtype)
-        return FlowEstimator(name, cfg, init_gma, gma_forward)
+        return FlowEstimator(name, cfg, init_gma, gma_forward, gma_pairs_forward)
     raise NotImplementedError(f"unknown flow estimator: {name}")

@@ -59,6 +59,15 @@ class AccFlowConfig:
     # FLOPs for HBM) — lets the training batch scale past what storing all
     # five cells' activations allows.
     remat: bool = False
+    # Fuse every OFE query of the clip into ONE batched estimator call.
+    # The 2(T-2)+1 pair flows are independent of the recurrence
+    # (AccFlow_.py:182-190 queries them stepwise under no_grad), so
+    # batching them is mathematically identical while removing 4 of 5
+    # serial estimator passes and deduplicating fnet/context encodes
+    # (~22 -> 7 frame passes for T=7). Costs peak HBM: all pair
+    # correlation volumes coexist (~89 MB x 11 x batch at 512^2) — use
+    # fused_ofe=False for very large eval batches.
+    fused_ofe: bool = True
 
 
 # ---------------------------------------------------------------------------
@@ -250,23 +259,118 @@ def _accflow_cell(
     return out_small.astype(jnp.float32), out.astype(jnp.float32)
 
 
+def _accflow_forward_fused(
+    params: Params,
+    ofe: OfeFn,
+    images: jnp.ndarray,
+    cfg: AccFlowConfig,
+    ofe_pairs=None,
+) -> jnp.ndarray:
+    """Fused-OFE accumulation (see AccFlowConfig.fused_ofe).
+
+    Precomputes everything that does not depend on the recurrence —
+    all pair flows (one OFE call), per-frame context features, occlusion
+    maps, and the flow encodings of the precomputed flows — then scans
+    only the sequential cell modules (encode carry, AccPlus, blending,
+    decoder). Numerically equivalent to the stepwise path.
+    """
+    t, n, h, w, _ = images.shape
+    cd = jnp.dtype(cfg.compute_dtype)
+    s = t - 2  # number of accumulation steps / outputs
+
+    # --- One batched OFE call for every pair flow of the clip ---
+    # order: [dflow_2..dflow_{T-1} | ini_2..ini_{T-1} | seed]
+    src_idx = tuple(range(2, t)) + tuple(range(2, t)) + (1,)
+    dst_idx = tuple(range(1, t - 1)) + (0,) * s + (0,)
+    if ofe_pairs is not None:
+        # Deduplicated-encode path: each unique frame is encoded once
+        # inside the estimator (raft_pairs_forward / gma_pairs_forward).
+        full_flows = ofe_pairs(images, src_idx, dst_idx)
+    else:
+        srcs = jnp.concatenate([images[i] for i in src_idx], axis=0)
+        dsts = jnp.concatenate([images[i] for i in dst_idx], axis=0)
+        full_flows = ofe(srcs, dsts)
+    flows = lax.stop_gradient(downflow8(full_flows))
+    dflows = flows[: s * n].reshape(s, n, h // 8, w // 8, 2)
+    inis = flows[s * n : 2 * s * n].reshape(s, n, h // 8, w // 8, 2)
+    seed = flows[2 * s * n :]  # (N, h8, w8, 2) = F_{1,0}
+
+    # --- Per-frame context features, one batched encode ---
+    ctx = basic_encoder(
+        params["context"], images.reshape(t * n, h, w, 3).astype(cd), "none"
+    ).reshape(t, n, h // 8, w // 8, -1)
+    ctx32 = ctx.astype(jnp.float32)
+
+    # --- Occlusion / error maps (detached in the reference) ---
+    h8, w8 = h // 8, w // 8
+    o = photometric_occ(
+        dflows.reshape(s * n, h8, w8, 2),
+        ctx32[2:].reshape(s * n, h8, w8, -1),
+        ctx32[1:-1].reshape(s * n, h8, w8, -1),
+    )
+    o = lax.stop_gradient(o).reshape(s, n, h8, w8, 1)
+    emap = photometric_occ(
+        inis.reshape(s * n, h8, w8, 2),
+        ctx32[2:].reshape(s * n, h8, w8, -1),
+        jnp.broadcast_to(ctx32[0][None], (s, n, h8, w8, ctx.shape[-1])).reshape(
+            s * n, h8, w8, -1
+        ),
+        binary=False,
+    )
+    emap = lax.stop_gradient(emap).reshape(s, n, h8, w8, -1)
+
+    # --- Encode the precomputed flows once ---
+    enc = flow_encoder(
+        params["flow_encoder"],
+        jnp.concatenate(
+            [inis.reshape(s * n, h8, w8, 2), dflows.reshape(s * n, h8, w8, 2)],
+            axis=0,
+        ).astype(cd),
+    )
+    f_inis = enc[: s * n].reshape(s, n, h8, w8, -1)
+    dfs = enc[s * n :].reshape(s, n, h8, w8, -1)
+
+    # --- Sequential cells ---
+    def cell(flow_carry, xs):
+        f_ini, df, o_i, emap_i, c_i = xs
+        flow_carry = lax.stop_gradient(flow_carry)
+        f = flow_encoder(params["flow_encoder"], flow_carry.astype(cd))
+        f_acc = accplus(params["accplus"], df, f, o_i.astype(cd), c_i)
+        f_fuse = blending(params["blending"], f_ini, f_acc, emap_i.astype(cd))
+        out_small, out = flow_decoder(params["flow_decoder"], f_fuse)
+        return out_small.astype(jnp.float32), out.astype(jnp.float32)
+
+    if cfg.remat:
+        cell = jax.checkpoint(cell)
+
+    _, outs = lax.scan(cell, seed, (f_inis, dfs, o, emap, ctx[2:]))
+    return outs
+
+
 def accflow_forward(
     params: Params,
     ofe: OfeFn,
     images: jnp.ndarray,
     cfg: AccFlowConfig = AccFlowConfig(),
+    ofe_pairs=None,
 ):
     """Accumulate long-range flow over a clip.
 
     images: (T, N, H, W, 3) normalized frames [I0 ... I_{T-1}], T >= 3.
+    ofe_pairs: optional pair-batched estimator closure
+    (frames, src_idx, dst_idx) -> (P*N, H, W, 2) flows with deduplicated
+    frame encoding (FlowEstimator.pairs_fn); used by the fused path.
     Returns (T-2, N, H, W, 2) float32: [F_{2,0}, ..., F_{T-1,0}] at full
     resolution (AccFlow_.py:157-175 collects the same list).
     """
     t = images.shape[0]
     if t < 3:
         raise ValueError("AccFlow needs at least 3 frames")
-    In = images[0]
 
+    if cfg.fused_ofe:
+        return _accflow_forward_fused(params, ofe, images, cfg, ofe_pairs)
+
+    In = images[0]
     cell = _accflow_cell
     if cfg.remat:
         cell = jax.checkpoint(_accflow_cell, static_argnums=(1, 6))

@@ -39,6 +39,7 @@ from accflow_tpu.models.raft import (
     init_flow_head,
     init_sep_conv_gru,
     sep_conv_gru,
+    upsample_mask,
 )
 from accflow_tpu.nn.layers import conv2d, init_conv, relu
 from accflow_tpu.ops.corr import build_corr_pyramid, lookup_corr
@@ -129,13 +130,14 @@ def init_gma_update_block(key: jax.Array, cfg: GMAConfig) -> Params:
     }
 
 
-def gma_update_block(p: Params, net, inp, corr, flow, attn, cfg: GMAConfig):
+def gma_update_block(p: Params, net, inp, corr, flow, attn, cfg: GMAConfig,
+                     with_mask: bool = True):
     motion = basic_motion_encoder(p["encoder"], flow, corr)
     motion_global = aggregate(p["aggregator"], attn, motion, cfg)
     gru_in = jnp.concatenate([inp, motion, motion_global], axis=-1)
     net = sep_conv_gru(p["gru"], net, gru_in)
     delta = flow_head(p["flow_head"], net)
-    mask = 0.25 * conv2d(p["mask"]["2"], relu(conv2d(p["mask"]["0"], net)), padding=0)
+    mask = upsample_mask(p, net) if with_mask else None
     return net, mask, delta
 
 
@@ -161,11 +163,12 @@ def gma_forward(
     cfg: GMAConfig = GMAConfig(),
     iters: Optional[int] = None,
     flow_init: Optional[jnp.ndarray] = None,
+    final_only: bool = False,
 ):
     """Same contract as raft_forward (see models/raft.py)."""
     iters = cfg.iters if iters is None else iters
     cd = jnp.dtype(cfg.compute_dtype)
-    n, h, w, _ = image1.shape
+    n = image1.shape[0]
 
     imgs = jnp.concatenate([image1, image2], axis=0).astype(cd)
     fmaps = basic_encoder(params["fnet"], imgs, "instance")
@@ -174,13 +177,38 @@ def gma_forward(
         fmap1.astype(jnp.float32), fmap2.astype(jnp.float32), cfg.corr_levels
     )
 
+    net, inp = gma_cnet(params, image1, cfg)
+    attn = attention(params["att"], inp, cfg).astype(cd)
+    return gma_iterate(
+        params, pyramid, net, inp, attn, cfg, iters=iters,
+        flow_init=flow_init, final_only=final_only,
+    )
+
+
+def gma_cnet(params: Params, image1: jnp.ndarray, cfg: GMAConfig):
+    cd = jnp.dtype(cfg.compute_dtype)
     cnet_out = basic_encoder(params["cnet"], image1.astype(cd), "batch")
     hdim = cfg.hidden_dim
     net = jnp.tanh(cnet_out[..., :hdim])
     inp = jax.nn.relu(cnet_out[..., hdim:])
-    attn = attention(params["att"], inp, cfg).astype(cd)
+    return net, inp
 
-    coords0 = coords_grid(n, h // 8, w // 8)
+
+def gma_iterate(
+    params: Params,
+    pyramid,
+    net: jnp.ndarray,
+    inp: jnp.ndarray,
+    attn: jnp.ndarray,
+    cfg: GMAConfig,
+    iters: int,
+    flow_init: Optional[jnp.ndarray] = None,
+    final_only: bool = False,
+):
+    cd = jnp.dtype(cfg.compute_dtype)
+    n, h8, w8 = net.shape[0], net.shape[1], net.shape[2]
+
+    coords0 = coords_grid(n, h8, w8)
     coords1 = coords0
     if flow_init is not None:
         coords1 = coords1 + flow_init.astype(jnp.float32)
@@ -192,16 +220,75 @@ def gma_forward(
         flow = coords1 - coords0
         net, mask, delta = gma_update_block(
             params["update_block"], net, inp, corr.astype(cd), flow.astype(cd),
-            attn, cfg,
+            attn, cfg, with_mask=not final_only,
         )
         coords1 = coords1 + delta.astype(jnp.float32)
+        if final_only:
+            return (net, coords1), None
         flow_up = convex_upsample(coords1 - coords0, mask)
         return (net, coords1), flow_up
 
     (net, coords1), flows_up = lax.scan(step, (net, coords1), None, length=iters)
+
+    if final_only:
+        mask = upsample_mask(params["update_block"], net)
+        flow_up = convex_upsample(coords1 - coords0, mask)
+        return {"flow_up": flow_up, "flow_low": coords1 - coords0}
 
     return {
         "flow_up": flows_up[-1],
         "predictions": flows_up,
         "flow_low": coords1 - coords0,
     }
+
+
+def gma_pairs_forward(
+    params: Params,
+    frames: jnp.ndarray,
+    src_idx,
+    dst_idx,
+    cfg: GMAConfig = GMAConfig(),
+    iters: Optional[int] = None,
+    final_only: bool = True,
+):
+    """Pair-batched GMA with deduplicated encodes (see raft_pairs_forward).
+
+    Each unique frame is fnet-encoded once; each unique src frame gets one
+    cnet encode + one attention map. Returns (P*N, H, W, 2) flows."""
+    cd = jnp.dtype(cfg.compute_dtype)
+    iters = cfg.iters if iters is None else iters
+    src_idx = tuple(int(i) for i in src_idx)
+    dst_idx = tuple(int(i) for i in dst_idx)
+    k, n, h, w, _ = frames.shape
+    p = len(src_idx)
+
+    used = sorted(set(src_idx) | set(dst_idx))
+    pos = {f: i for i, f in enumerate(used)}
+    fmaps = basic_encoder(
+        params["fnet"],
+        frames[jnp.asarray(used)].reshape(len(used) * n, h, w, 3).astype(cd),
+        "instance",
+    ).reshape(len(used), n, h // 8, w // 8, -1)
+    fmap1 = fmaps[jnp.asarray([pos[i] for i in src_idx])].reshape(p * n, h // 8, w // 8, -1)
+    fmap2 = fmaps[jnp.asarray([pos[i] for i in dst_idx])].reshape(p * n, h // 8, w // 8, -1)
+    pyramid = build_corr_pyramid(
+        fmap1.astype(jnp.float32), fmap2.astype(jnp.float32), cfg.corr_levels
+    )
+
+    src_used = sorted(set(src_idx))
+    spos = {f: i for i, f in enumerate(src_used)}
+    net_u, inp_u = gma_cnet(
+        params, frames[jnp.asarray(src_used)].reshape(len(src_used) * n, h, w, 3), cfg
+    )
+    attn_u = attention(params["att"], inp_u, cfg).astype(cd)
+    hw8 = (h // 8) * (w // 8)
+    net_u = net_u.reshape(len(src_used), n, h // 8, w // 8, -1)
+    inp_u = inp_u.reshape(len(src_used), n, h // 8, w // 8, -1)
+    attn_u = attn_u.reshape(len(src_used), n, cfg.num_heads, hw8, hw8)
+    sel = jnp.asarray([spos[i] for i in src_idx])
+    net = net_u[sel].reshape(p * n, h // 8, w // 8, -1)
+    inp = inp_u[sel].reshape(p * n, h // 8, w // 8, -1)
+    attn = attn_u[sel].reshape(p * n, cfg.num_heads, hw8, hw8)
+
+    out = gma_iterate(params, pyramid, net, inp, attn, cfg, iters=iters, final_only=final_only)
+    return out["flow_up"]

@@ -177,12 +177,17 @@ def init_basic_update_block(key: jax.Array, cfg: RAFTConfig, hidden_dim: int = 1
     }
 
 
-def basic_update_block(p: Params, net, inp, corr, flow):
+def upsample_mask(p: Params, net) -> jnp.ndarray:
+    """0.25-scaled convex-upsampling mask head (update.py:122-125,135)."""
+    return 0.25 * conv2d(p["mask"]["2"], relu(conv2d(p["mask"]["0"], net)), padding=0)
+
+
+def basic_update_block(p: Params, net, inp, corr, flow, with_mask: bool = True):
     motion = basic_motion_encoder(p["encoder"], flow, corr)
     gru_in = jnp.concatenate([inp, motion], axis=-1)
     net = sep_conv_gru(p["gru"], net, gru_in)
     delta = flow_head(p["flow_head"], net)
-    mask = 0.25 * conv2d(p["mask"]["2"], relu(conv2d(p["mask"]["0"], net)), padding=0)
+    mask = upsample_mask(p, net) if with_mask else None
     return net, mask, delta
 
 
@@ -195,7 +200,8 @@ def init_small_update_block(key: jax.Array, cfg: RAFTConfig, hidden_dim: int = 9
     }
 
 
-def small_update_block(p: Params, net, inp, corr, flow):
+def small_update_block(p: Params, net, inp, corr, flow, with_mask: bool = True):
+    del with_mask  # the small model has no learned upsampling mask
     motion = small_motion_encoder(p["encoder"], flow, corr)
     gru_in = jnp.concatenate([inp, motion], axis=-1)
     net = conv_gru(p["gru"], net, gru_in)
@@ -223,25 +229,38 @@ def init_raft(key: jax.Array, cfg: RAFTConfig = RAFTConfig()) -> Params:
     }
 
 
+def raft_fnet(params: Params, images: jnp.ndarray, cfg: RAFTConfig) -> jnp.ndarray:
+    """Feature encoder over a batch of frames (any batching — instance
+    norm is per-sample, so results are independent of how frames are
+    grouped)."""
+    cd = jnp.dtype(cfg.compute_dtype)
+    enc = small_encoder if cfg.small else basic_encoder
+    return enc(params["fnet"], images.astype(cd), "instance")
+
+
+def raft_cnet(params: Params, image1: jnp.ndarray, cfg: RAFTConfig):
+    """Context encoder -> (net, inp) initial state."""
+    cd = jnp.dtype(cfg.compute_dtype)
+    if cfg.small:
+        cnet_out = small_encoder(params["cnet"], image1.astype(cd), "none")
+    else:
+        cnet_out = basic_encoder(params["cnet"], image1.astype(cd), "batch")
+    hdim = cfg.hidden_dim
+    net = jnp.tanh(cnet_out[..., :hdim])
+    inp = jax.nn.relu(cnet_out[..., hdim:])
+    return net, inp
+
+
 def raft_features(params: Params, image1, image2, cfg: RAFTConfig):
     """Encoders + correlation pyramid + initial state (everything outside
     the iteration loop)."""
-    cd = jnp.dtype(cfg.compute_dtype)
-    imgs = jnp.concatenate([image1, image2], axis=0).astype(cd)
-    if cfg.small:
-        fmaps = small_encoder(params["fnet"], imgs, "instance")
-        cnet_out = small_encoder(params["cnet"], image1.astype(cd), "none")
-    else:
-        fmaps = basic_encoder(params["fnet"], imgs, "instance")
-        cnet_out = basic_encoder(params["cnet"], image1.astype(cd), "batch")
     n = image1.shape[0]
+    fmaps = raft_fnet(params, jnp.concatenate([image1, image2], axis=0), cfg)
     fmap1, fmap2 = fmaps[:n], fmaps[n:]
     pyramid = build_corr_pyramid(
         fmap1.astype(jnp.float32), fmap2.astype(jnp.float32), cfg.corr_levels
     )
-    hdim = cfg.hidden_dim
-    net = jnp.tanh(cnet_out[..., :hdim])
-    inp = jax.nn.relu(cnet_out[..., hdim:])
+    net, inp = raft_cnet(params, image1, cfg)
     return pyramid, net, inp
 
 
@@ -252,25 +271,48 @@ def raft_forward(
     cfg: RAFTConfig = RAFTConfig(),
     iters: Optional[int] = None,
     flow_init: Optional[jnp.ndarray] = None,
+    final_only: bool = False,
 ):
     """Estimate flow image1 -> image2.
 
     images: (N, H, W, 3) normalized to [-1, 1] (the engines apply
     2*(x/255)-1, mirroring test_cvo.py:41 / train_acc.py:62).
     flow_init: optional (N, H/8, W/8, 2) warm start (raft.py:123-124).
+    final_only: skip the per-iteration convex upsampling and upsample only
+    the last flow (the reference upsamples every iteration and discards
+    11 of 12 at eval — raft.py:139-144,146); exact same final flow, no
+    `predictions` in the result. Use for eval / frozen-OFE calls.
 
     Returns dict:
       flow_up     — final full-res flow (N, H, W, 2) float32
-      predictions — (iters, N, H, W, 2) per-iteration upsampled flows
+      predictions — (iters, N, H, W, 2) per-iteration flows (unless
+                    final_only)
       flow_low    — final 1/8-res flow (N, H/8, W/8, 2)
     """
     iters = cfg.iters if iters is None else iters
-    cd = jnp.dtype(cfg.compute_dtype)
-    n, h, w, _ = image1.shape
-
     pyramid, net, inp = raft_features(params, image1, image2, cfg)
+    return raft_iterate(
+        params, pyramid, net, inp, cfg, iters=iters, flow_init=flow_init,
+        final_only=final_only,
+    )
 
-    coords0 = coords_grid(n, h // 8, w // 8)
+
+def raft_iterate(
+    params: Params,
+    pyramid,
+    net: jnp.ndarray,
+    inp: jnp.ndarray,
+    cfg: RAFTConfig,
+    iters: int,
+    flow_init: Optional[jnp.ndarray] = None,
+    final_only: bool = False,
+):
+    """The scanned GRU refinement loop, shared by raft_forward and the
+    pair-batched path (raft_pairs_forward)."""
+    cd = jnp.dtype(cfg.compute_dtype)
+    n, h8, w8 = net.shape[0], net.shape[1], net.shape[2]
+
+    coords0 = coords_grid(n, h8, w8)
     coords1 = coords0
     if flow_init is not None:
         coords1 = coords1 + flow_init.astype(jnp.float32)
@@ -283,9 +325,12 @@ def raft_forward(
         corr = lookup_corr(pyramid, coords1, cfg.radius)
         flow = coords1 - coords0
         net, mask, delta = upd(
-            params["update_block"], net, inp, corr.astype(cd), flow.astype(cd)
+            params["update_block"], net, inp, corr.astype(cd), flow.astype(cd),
+            with_mask=not final_only,
         )
         coords1 = coords1 + delta.astype(jnp.float32)
+        if final_only:
+            return (net, coords1), None
         if mask is None:
             flow_up = upflow8(coords1 - coords0)
         else:
@@ -294,8 +339,70 @@ def raft_forward(
 
     (net, coords1), flows_up = lax.scan(step, (net, coords1), None, length=iters)
 
+    if final_only:
+        if cfg.small:
+            flow_up = upflow8(coords1 - coords0)
+        else:
+            mask = upsample_mask(params["update_block"], net)
+            flow_up = convex_upsample(coords1 - coords0, mask)
+        return {"flow_up": flow_up, "flow_low": coords1 - coords0}
+
     return {
         "flow_up": flows_up[-1],
         "predictions": flows_up,
         "flow_low": coords1 - coords0,
     }
+
+
+def raft_pairs_forward(
+    params: Params,
+    frames: jnp.ndarray,
+    src_idx,
+    dst_idx,
+    cfg: RAFTConfig = RAFTConfig(),
+    iters: Optional[int] = None,
+    final_only: bool = True,
+):
+    """Flow for many (src, dst) frame pairs with deduplicated encoding.
+
+    frames: (K, N, H, W, 3); src_idx/dst_idx: equal-length tuples of frame
+    indices. Each unique frame is fnet-encoded once and each unique src
+    frame cnet-encoded once; per-pair feature maps are then gathered —
+    numerically identical to independent pair forwards (instance norm is
+    per-sample, batch norm is frozen), but e.g. AccFlow's 11 clip queries
+    cost 7 fnet + 6 cnet encodes instead of 22 + 11.
+
+    Returns flow_up of shape (P*N, H, W, 2), pairs stacked P-major (the
+    same layout as concatenating the per-pair batches).
+    """
+    iters = cfg.iters if iters is None else iters
+    src_idx = tuple(int(i) for i in src_idx)
+    dst_idx = tuple(int(i) for i in dst_idx)
+    k, n, h, w, _ = frames.shape
+    p = len(src_idx)
+
+    used = sorted(set(src_idx) | set(dst_idx))
+    pos = {f: i for i, f in enumerate(used)}
+    fmaps = raft_fnet(
+        params, frames[jnp.asarray(used)].reshape(len(used) * n, h, w, 3), cfg
+    ).reshape(len(used), n, h // 8, w // 8, -1)
+
+    fmap1 = fmaps[jnp.asarray([pos[i] for i in src_idx])].reshape(p * n, h // 8, w // 8, -1)
+    fmap2 = fmaps[jnp.asarray([pos[i] for i in dst_idx])].reshape(p * n, h // 8, w // 8, -1)
+    pyramid = build_corr_pyramid(
+        fmap1.astype(jnp.float32), fmap2.astype(jnp.float32), cfg.corr_levels
+    )
+
+    src_used = sorted(set(src_idx))
+    spos = {f: i for i, f in enumerate(src_used)}
+    net_u, inp_u = raft_cnet(
+        params, frames[jnp.asarray(src_used)].reshape(len(src_used) * n, h, w, 3), cfg
+    )
+    net_u = net_u.reshape(len(src_used), n, h // 8, w // 8, -1)
+    inp_u = inp_u.reshape(len(src_used), n, h // 8, w // 8, -1)
+    sel = jnp.asarray([spos[i] for i in src_idx])
+    net = net_u[sel].reshape(p * n, h // 8, w // 8, -1)
+    inp = inp_u[sel].reshape(p * n, h // 8, w // 8, -1)
+
+    out = raft_iterate(params, pyramid, net, inp, cfg, iters=iters, final_only=final_only)
+    return out["flow_up"]

@@ -89,7 +89,7 @@ def build_acc_model(opt):
 def make_acc_train_step(est, acfg: AccFlowConfig, tx, add_noise: bool):
     def ofe_fn(ofe_params):
         def fn(i1, i2):
-            return est.forward(ofe_params, i1, i2)["flow_up"]
+            return est.forward(ofe_params, i1, i2, final_only=True)["flow_up"]
         return fn
 
     @partial(jax.jit, donate_argnums=(0,))
@@ -100,7 +100,10 @@ def make_acc_train_step(est, acfg: AccFlowConfig, tx, add_noise: bool):
             images = images + reference_noise(key, images.shape[1:])[None]
 
         def loss_fn(params):
-            outs = accflow_forward(params, ofe_fn(ofe_params), images, acfg)
+            outs = accflow_forward(
+                params, ofe_fn(ofe_params), images, acfg,
+                ofe_pairs=est.pairs_fn(ofe_params),
+            )
             return sequence_loss_acc(outs, labels)
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -115,7 +118,10 @@ def make_acc_train_step(est, acfg: AccFlowConfig, tx, add_noise: bool):
     def valid_step(params, ofe_params, imgs, bflows):
         images = to_clip(imgs)
         labels = to_flow_seq(bflows)
-        outs = accflow_forward(params, ofe_fn(ofe_params), images, acfg)
+        outs = accflow_forward(
+            params, ofe_fn(ofe_params), images, acfg,
+            ofe_pairs=est.pairs_fn(ofe_params),
+        )
         # Per-sample EPE of the last accumulated flow, so the engine can
         # aggregate correctly across padded validation batches.
         epe = jnp.sqrt(jnp.sum((outs[-1] - labels[-1]) ** 2, axis=-1))
@@ -189,6 +195,12 @@ def train_acc(opt, max_steps: int | None = None):
         logger.info("WARNING: frozen OFE uses random init (no flow_pretrained)")
 
     params = init_accflow(jax.random.PRNGKey(opt.get("seed", 0)), acfg)
+    from accflow_tpu.utils.logging import count_parameters
+
+    logger.info(
+        "Parameter Count: trainable: %d, frozen (OFE): %d",
+        count_parameters(params), count_parameters(ofe_params),
+    )
     tx, schedule = make_optimizer(
         opt.lr, num_steps, opt.wdecay, opt.epsilon, opt.clip
     )

@@ -92,10 +92,17 @@ def evaluate_cvo(
         bseq = to_flow_seq(bflows)[: end - 1]
         fseq = to_flow_seq(fflows)[: end - 1]
         if use_acc:
-            ofe_fn = lambda a, b: est.forward(params_, a, b, iters=iters)["flow_up"]
-            fn0 = accflow_forward(acc_params_, ofe_fn, images, acfg)[-1]
+            ofe_fn = lambda a, b: est.forward(
+                params_, a, b, iters=iters, final_only=True
+            )["flow_up"]
+            fn0 = accflow_forward(
+                acc_params_, ofe_fn, images, acfg,
+                ofe_pairs=est.pairs_fn(params_, iters=iters),
+            )[-1]
         else:
-            fn0 = est.forward(params_, images[-1], images[0], iters=iters)["flow_up"]
+            fn0 = est.forward(
+                params_, images[-1], images[0], iters=iters, final_only=True
+            )["flow_up"]
         bmask, _ = calc_occ_mask(bseq[-1], fseq[-1])
         return cal_epe(fn0, bseq[-1], bmask)
 

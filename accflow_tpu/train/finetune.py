@@ -136,6 +136,9 @@ def fine_tune(opt, max_steps: int | None = None):
     else:
         params = est.init(jax.random.PRNGKey(opt.get("seed", 0)))
 
+    from accflow_tpu.utils.logging import count_parameters
+
+    logger.info("Parameter Count: trainable: %d", count_parameters(params))
     tx, schedule = make_optimizer(opt.lr, num_steps, opt.wdecay, opt.epsilon, opt.clip)
     state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
     state = shard_params(mesh, state)

@@ -41,6 +41,16 @@ def setup_logger(
     return lg
 
 
+def count_parameters(params) -> int:
+    """Total parameter count of a param pytree (reference
+    count_parameters, utils/util.py:89-92 — trainability is a property of
+    the optimizer partition here, not the tree)."""
+    import jax
+    import numpy as np
+
+    return int(sum(np.prod(x.shape) for x in jax.tree.leaves(params)))
+
+
 class Timer:
     """Average step timer with reset (reference Timer, util.py:109-126)."""
 

@@ -42,14 +42,29 @@ def device_step_time(
     iterations (default: reuse args, which still orders execution through
     the fori_loop carry of the checksum)."""
 
+    def default_chain(out, args, s):
+        # Data dependency: nudge every floating input by an invisible
+        # epsilon of the output so XLA cannot hoist the loop body as
+        # loop-invariant (which would make every iteration free).
+        eps = s * 1e-30
+
+        def nudge(a):
+            a = jnp.asarray(a)
+            if jnp.issubdtype(a.dtype, jnp.floating):
+                return a + eps.astype(a.dtype)
+            return a
+
+        return jax.tree.map(nudge, args)
+
+    chain = chain or default_chain
+
     def make_loop(k: int):
         def loop(args):
             def body(i, carry):
                 checksum, args = carry
                 out = step_fn(*args)
                 s = jnp.sum(jnp.asarray(jax.tree.leaves(out)[0])).astype(jnp.float32)
-                if chain is not None:
-                    args = chain(out, args, s)
+                args = chain(out, args, s)
                 return (checksum + s, args)
 
             checksum, _ = jax.lax.fori_loop(0, k, body, (jnp.float32(0.0), args))

@@ -50,8 +50,11 @@ def main() -> None:
     acc_params = init_accflow(jax.random.PRNGKey(1), acfg)
 
     def run(acc_params, ofe_params, images):
-        ofe_fn = lambda a, b: est.forward(ofe_params, a, b)["flow_up"]
-        return accflow_forward(acc_params, ofe_fn, images, acfg)
+        ofe_fn = lambda a, b: est.forward(ofe_params, a, b, final_only=True)["flow_up"]
+        return accflow_forward(
+            acc_params, ofe_fn, images, acfg,
+            ofe_pairs=est.pairs_fn(ofe_params),
+        )
 
     rng = np.random.default_rng(0)
     images = jnp.asarray(

@@ -186,3 +186,68 @@ def test_accflow_parity():
     for i, ref in enumerate(ref_outs):
         ours = np.moveaxis(np.asarray(outs[i]), -1, 1)
         np.testing.assert_allclose(ours, _np(ref), rtol=2e-3, atol=2e-2)
+
+
+def test_fused_equals_stepwise_and_final_only():
+    """The fused-OFE accumulation path and final_only estimator mode are
+    pure restructurings — outputs must match their reference-shaped
+    counterparts."""
+    import numpy as np
+
+    from accflow_tpu.models import build_flow_estimator
+    from accflow_tpu.models.accflow import (
+        AccFlowConfig,
+        accflow_forward,
+        init_accflow,
+    )
+
+    rng = np.random.default_rng(3)
+    est = build_flow_estimator("raft", compute_dtype="float32")
+    ofe_params = est.init(jax.random.PRNGKey(0))
+    frames = jnp.asarray(
+        np.moveaxis(rng.uniform(-1, 1, (4, 1, 3, 128, 128)).astype(np.float32), 2, -1)
+    )
+
+    out_full = est.forward(ofe_params, frames[0], frames[1], iters=4)
+    out_final = est.forward(ofe_params, frames[0], frames[1], iters=4, final_only=True)
+    np.testing.assert_allclose(
+        np.asarray(out_final["flow_up"]), np.asarray(out_full["flow_up"]),
+        rtol=1e-5, atol=1e-5,
+    )
+
+    acc_params = init_accflow(jax.random.PRNGKey(1), AccFlowConfig())
+    ofe_fn = lambda a, b: est.forward(ofe_params, a, b, iters=4, final_only=True)["flow_up"]
+    cfg_fused = AccFlowConfig(compute_dtype="float32", fused_ofe=True)
+    cfg_step = AccFlowConfig(compute_dtype="float32", fused_ofe=False)
+    out_fused = accflow_forward(acc_params, ofe_fn, frames, cfg_fused)
+    out_step = accflow_forward(acc_params, ofe_fn, frames, cfg_step)
+    np.testing.assert_allclose(
+        np.asarray(out_fused), np.asarray(out_step), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_pairs_forward_equals_independent():
+    """Deduplicated pair-batched estimator == independent pair forwards."""
+    import numpy as np
+
+    from accflow_tpu.models import build_flow_estimator
+
+    rng = np.random.default_rng(5)
+    for name in ("raft", "gma"):
+        est = build_flow_estimator(name, compute_dtype="float32")
+        params = est.init(jax.random.PRNGKey(0))
+        frames = jnp.asarray(
+            np.moveaxis(
+                rng.uniform(-1, 1, (3, 2, 3, 128, 128)).astype(np.float32), 2, -1
+            )
+        )
+        src, dst = (2, 2, 1), (1, 0, 0)
+        flows = est.pairs_fn(params, iters=3)(frames, src, dst)
+        for p, (s, d) in enumerate(zip(src, dst)):
+            ref = est.forward(
+                params, frames[s], frames[d], iters=3, final_only=True
+            )["flow_up"]
+            np.testing.assert_allclose(
+                np.asarray(flows[2 * p : 2 * p + 2]), np.asarray(ref),
+                rtol=1e-4, atol=1e-4, err_msg=f"{name} pair {p}",
+            )
