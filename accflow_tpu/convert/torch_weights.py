@@ -92,6 +92,11 @@ def convert_state_dict(template: Params, state_dict: Mapping[str, Any]) -> Param
                 out[name] = jnp.asarray(t.transpose(2, 3, 1, 0))
             elif name == "b":
                 out[name] = jnp.asarray(fetch(f"{base}.bias"))
+            elif name == "emb":
+                t = fetch(f"{base}.weight")
+                if t.ndim != 2:
+                    raise ValueError(f"embedding expected 2D at {base}, got {t.shape}")
+                out[name] = jnp.asarray(t)
             elif name == "scale":
                 out[name] = jnp.asarray(fetch(f"{base}.weight"))
             elif name == "bias":
@@ -126,7 +131,13 @@ def convert_state_dict(template: Params, state_dict: Mapping[str, Any]) -> Param
                 used.add(key)
 
     leftovers = {
-        k for k in sd if k not in used and not k.endswith("num_batches_tracked")
+        k
+        for k in sd
+        if k not in used
+        and not k.endswith("num_batches_tracked")
+        # RelPosEmb registers its (deterministic) relative-index matrix as a
+        # buffer (networks/gma/modules.py:16-18); it carries no weights.
+        and not k.endswith("rel_ind")
     }
     if leftovers:
         raise ValueError(f"unconsumed torch keys: {sorted(leftovers)[:10]} ...")

@@ -73,12 +73,16 @@ class FlowEstimator:
         return fn
 
 
-def build_flow_estimator(name: str, compute_dtype: str = "bfloat16") -> FlowEstimator:
+def build_flow_estimator(
+    name: str, compute_dtype: str = "bfloat16", **cfg_overrides
+) -> FlowEstimator:
+    """Substring dispatch mirroring networks/__init__.py:4-23. Extra kwargs
+    override RAFTConfig/GMAConfig fields (e.g. corr_volume_dtype, iters)."""
     lname = name.lower()
     if "raft" in lname:
-        cfg = RAFTConfig(compute_dtype=compute_dtype)
+        cfg = RAFTConfig(compute_dtype=compute_dtype, **cfg_overrides)
         return FlowEstimator(name, cfg, init_raft, raft_forward, raft_pairs_forward)
     if "gma" in lname:
-        cfg = GMAConfig(compute_dtype=compute_dtype)
+        cfg = GMAConfig(compute_dtype=compute_dtype, **cfg_overrides)
         return FlowEstimator(name, cfg, init_gma, gma_forward, gma_pairs_forward)
     raise NotImplementedError(f"unknown flow estimator: {name}")

@@ -38,11 +38,12 @@ from accflow_tpu.models.raft import (
     init_basic_motion_encoder,
     init_flow_head,
     init_sep_conv_gru,
+    make_fused_sep_gru,
     sep_conv_gru,
     upsample_mask,
 )
 from accflow_tpu.nn.layers import conv2d, init_conv, relu
-from accflow_tpu.ops.corr import build_corr_pyramid, lookup_corr
+from accflow_tpu.ops.corr import build_corr_pyramid, lookup
 from accflow_tpu.ops.grids import coords_grid
 from accflow_tpu.ops.upsample import convex_upsample
 
@@ -59,6 +60,23 @@ class GMAConfig:
     hidden_dim: int = 128
     context_dim: int = 128
     dim_head: int = 128
+    # Attention similarity branches (networks/gma/modules.py:62-71). The
+    # released checkpoints use content-only (both False — the factory's
+    # defaults, networks/__init__.py:14-19); the positional branches are
+    # provided for full upstream API coverage.
+    position_only: bool = False
+    position_and_content: bool = False
+    max_pos_size: int = 160
+    # Corr volume storage dtype: float32 (reference-exact) or bfloat16
+    # (halves volume HBM footprint + lookup traffic; values are quantized
+    # to bf16, which the bf16 update block does anyway after lookup).
+    corr_volume_dtype: str = "float32"
+    # Corr lookup implementation (see ops/corr.py).
+    corr_lookup: str = "mm"
+
+    @property
+    def corr_precision(self) -> str:
+        return "highest" if jnp.dtype(self.compute_dtype) == jnp.float32 else "default"
 
     @property
     def corr_planes(self) -> int:
@@ -71,19 +89,60 @@ class GMAConfig:
 
 def init_attention(key: jax.Array, cfg: GMAConfig) -> Params:
     inner = cfg.num_heads * cfg.dim_head
-    return {"to_qk": init_conv(key, cfg.context_dim, inner * 2, 1, bias=False)}
+    k1, k2, k3 = jax.random.split(key, 3)
+    n = 2 * cfg.max_pos_size - 1
+    return {
+        "to_qk": init_conv(k1, cfg.context_dim, inner * 2, 1, bias=False),
+        # RelPosEmb (modules.py:6-18): two nn.Embedding tables, N(0,1) init.
+        # Always present (the upstream module creates it unconditionally,
+        # so every released checkpoint carries the tables).
+        "pos_emb": {
+            "rel_height": {"emb": jax.random.normal(k2, (n, cfg.dim_head))},
+            "rel_width": {"emb": jax.random.normal(k3, (n, cfg.dim_head))},
+        },
+    }
+
+
+def rel_pos_score(p: Params, q: jnp.ndarray, cfg: GMAConfig) -> jnp.ndarray:
+    """Decomposed relative-position similarity (modules.py:20-31).
+
+    q: (N, H, W, heads, dh) scaled queries ->
+    (N, heads, x, y, u, v) with score[x,y,u,v] =
+    q[x,y]·rel_height[x-u+...] + q[x,y]·rel_width[y-v+...] — the height
+    term is independent of (y, v) and the width term of (x, u), matching
+    the reference's broadcast einsums.
+    """
+    n, h, w, heads, dh = q.shape
+    m = cfg.max_pos_size
+    rel = lambda size: (
+        jnp.arange(size)[None, :] - jnp.arange(size)[:, None] + m - 1
+    )
+    hemb = p["rel_height"]["emb"][rel(h)]  # (x, u, dh)
+    wemb = p["rel_width"]["emb"][rel(w)]  # (y, v, dh)
+    hs = jnp.einsum("nxyhd,xud->nhxyu", q, hemb, precision="highest")
+    ws = jnp.einsum("nxyhd,yvd->nhxyv", q, wemb, precision="highest")
+    return hs[..., :, None] + ws[..., None, :]
 
 
 def attention(p: Params, fmap: jnp.ndarray, cfg: GMAConfig) -> jnp.ndarray:
-    """Content-only attention map: (N, H, W, C) -> (N, heads, HW, HW)."""
+    """Attention map (N, H, W, C) -> (N, heads, HW, HW).
+
+    Branches per modules.py:62-71: position-only, position+content, or
+    content-only (the default used by all released checkpoints)."""
     n, h, w, _ = fmap.shape
     heads, dh = cfg.num_heads, cfg.dim_head
     qk = conv2d(p["to_qk"], fmap, padding=0)
     q, k = jnp.split(qk, 2, axis=-1)
-    # (N, HW, heads, dh): torch channel layout (h d) -> heads-major split.
-    q = q.reshape(n, h * w, heads, dh).astype(jnp.float32) * (dh**-0.5)
-    k = k.reshape(n, h * w, heads, dh).astype(jnp.float32)
-    sim = jnp.einsum("nqhd,nkhd->nhqk", q, k, precision="highest")
+    # torch channel layout (h d) -> heads-major split.
+    q = q.reshape(n, h, w, heads, dh).astype(jnp.float32) * (dh**-0.5)
+    k = k.reshape(n, h, w, heads, dh).astype(jnp.float32)
+    if cfg.position_only:
+        sim = rel_pos_score(p["pos_emb"], q, cfg)
+    else:
+        sim = jnp.einsum("nxyhd,nuvhd->nhxyuv", q, k, precision="highest")
+        if cfg.position_and_content:
+            sim = sim + rel_pos_score(p["pos_emb"], q, cfg)
+    sim = sim.reshape(n, heads, h * w, h * w)
     return jax.nn.softmax(sim, axis=-1)
 
 
@@ -174,7 +233,8 @@ def gma_forward(
     fmaps = basic_encoder(params["fnet"], imgs, "instance")
     fmap1, fmap2 = fmaps[:n], fmaps[n:]
     pyramid = build_corr_pyramid(
-        fmap1.astype(jnp.float32), fmap2.astype(jnp.float32), cfg.corr_levels
+        fmap1.astype(jnp.float32), fmap2.astype(jnp.float32), cfg.corr_levels,
+        precision=cfg.corr_precision, dtype=jnp.dtype(cfg.corr_volume_dtype),
     )
 
     net, inp = gma_cnet(params, image1, cfg)
@@ -213,15 +273,22 @@ def gma_iterate(
     if flow_init is not None:
         coords1 = coords1 + flow_init.astype(jnp.float32)
 
+    ub = params["update_block"]
+    gru_step = make_fused_sep_gru(ub["gru"], inp, cfg.hidden_dim)
+
     def step(carry, _):
         net, coords1 = carry
         coords1 = lax.stop_gradient(coords1)
-        corr = lookup_corr(pyramid, coords1, cfg.corr_radius)
-        flow = coords1 - coords0
-        net, mask, delta = gma_update_block(
-            params["update_block"], net, inp, corr.astype(cd), flow.astype(cd),
-            attn, cfg, with_mask=not final_only,
+        corr = lookup(
+            pyramid, coords1, cfg.corr_radius,
+            impl=cfg.corr_lookup, precision=cfg.corr_precision,
         )
+        flow = coords1 - coords0
+        motion = basic_motion_encoder(ub["encoder"], flow.astype(cd), corr.astype(cd))
+        motion_global = aggregate(ub["aggregator"], attn, motion, cfg)
+        net = gru_step(net, jnp.concatenate([motion, motion_global], axis=-1))
+        delta = flow_head(ub["flow_head"], net)
+        mask = upsample_mask(ub, net) if not final_only else None
         coords1 = coords1 + delta.astype(jnp.float32)
         if final_only:
             return (net, coords1), None
@@ -272,7 +339,8 @@ def gma_pairs_forward(
     fmap1 = fmaps[jnp.asarray([pos[i] for i in src_idx])].reshape(p * n, h // 8, w // 8, -1)
     fmap2 = fmaps[jnp.asarray([pos[i] for i in dst_idx])].reshape(p * n, h // 8, w // 8, -1)
     pyramid = build_corr_pyramid(
-        fmap1.astype(jnp.float32), fmap2.astype(jnp.float32), cfg.corr_levels
+        fmap1.astype(jnp.float32), fmap2.astype(jnp.float32), cfg.corr_levels,
+        precision=cfg.corr_precision, dtype=jnp.dtype(cfg.corr_volume_dtype),
     )
 
     src_used = sorted(set(src_idx))

@@ -36,7 +36,7 @@ from accflow_tpu.models.encoders import (
     small_encoder,
 )
 from accflow_tpu.nn.layers import conv2d, init_conv, relu
-from accflow_tpu.ops.corr import build_corr_pyramid, lookup_corr
+from accflow_tpu.ops.corr import build_corr_pyramid, lookup
 from accflow_tpu.ops.grids import coords_grid, upflow8
 from accflow_tpu.ops.upsample import convex_upsample
 
@@ -50,6 +50,20 @@ class RAFTConfig:
     corr_radius: int = 4
     iters: int = 12
     compute_dtype: str = "bfloat16"
+    # Corr volume storage dtype: float32 (reference-exact) or bfloat16
+    # (halves volume HBM footprint + lookup traffic; values are quantized
+    # to bf16, which the bf16 update block does anyway after lookup).
+    corr_volume_dtype: str = "float32"
+    # Corr lookup implementation: "mm" | "rows" | "patch" | "gather"
+    # (numerically equivalent; see ops/corr.py).
+    corr_lookup: str = "mm"
+
+    @property
+    def corr_precision(self) -> str:
+        """MXU precision for corr construction/lookup: exact f32 emulation
+        when the model computes in float32 (parity paths); single-pass when
+        the features are bfloat16-valued anyway (same products, ~6x faster)."""
+        return "highest" if jnp.dtype(self.compute_dtype) == jnp.float32 else "default"
 
     @property
     def hidden_dim(self) -> int:
@@ -106,6 +120,54 @@ def sep_conv_gru(p: Params, h: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
         q = jnp.tanh(conv2d(p[f"convq{axis}"], jnp.concatenate([r * h, x], axis=-1)))
         h = (1.0 - z) * h + z * q
     return h
+
+
+def make_fused_sep_gru(p: Params, inp: jnp.ndarray, hidden_dim: int):
+    """Build a fast SepConvGRU step specialized to a fixed `inp` prefix.
+
+    The GRU input inside the RAFT/GMA refinement loop is
+    ``x = cat(inp, varying)`` where `inp` (the context features) never
+    changes across iterations (raft.py:119 computes it once). Convolution
+    is linear in its input channels, so each gate conv over
+    ``hx = cat(h, inp, varying)`` splits into three channel-slices whose
+    contributions add:
+
+      conv(hx) = conv_h(h) + conv_inp(inp) + conv_var(varying) + bias
+
+    `conv_inp(inp) + bias` is hoisted out of the scan (computed once here),
+    and the remaining per-iteration convs are fused across gates into two
+    larger MXU-friendly matmuls (z|r|q over `varying`, z|r over `h`; q's
+    h-term uses r*h so it stays separate). Numerically identical to
+    `sep_conv_gru(p, h, cat([inp, varying]))` up to float summation order.
+
+    Returns step(h, varying) -> h.
+    """
+    hd = hidden_dim
+    idim = inp.shape[-1]
+    pre = {}
+    for ax in ("1", "2"):
+        gates = [p[f"convz{ax}"], p[f"convr{ax}"], p[f"convq{ax}"]]
+        w_inp = jnp.concatenate([g["w"][:, :, hd : hd + idim, :] for g in gates], axis=-1)
+        bias = jnp.concatenate([g["b"] for g in gates])
+        pre[ax] = {
+            "a_inp": conv2d({"w": w_inp, "b": bias}, inp),
+            "w_var": jnp.concatenate([g["w"][:, :, hd + idim :, :] for g in gates], axis=-1),
+            "w_h_zr": jnp.concatenate([g["w"][:, :, :hd, :] for g in gates[:2]], axis=-1),
+            "w_h_q": gates[2]["w"][:, :, :hd, :],
+        }
+
+    def step(h: jnp.ndarray, varying: jnp.ndarray) -> jnp.ndarray:
+        for ax in ("1", "2"):
+            q = pre[ax]
+            s = conv2d({"w": q["w_var"]}, varying) + q["a_inp"].astype(varying.dtype)
+            hzr = conv2d({"w": q["w_h_zr"]}, h)
+            z = jax.nn.sigmoid(hzr[..., :hd] + s[..., :hd])
+            r = jax.nn.sigmoid(hzr[..., hd:] + s[..., hd : 2 * hd])
+            qg = jnp.tanh(conv2d({"w": q["w_h_q"]}, r * h) + s[..., 2 * hd :])
+            h = (1.0 - z) * h + z * qg
+        return h
+
+    return step
 
 
 def init_conv_gru(key: jax.Array, hidden_dim: int, input_dim: int) -> Params:
@@ -258,7 +320,8 @@ def raft_features(params: Params, image1, image2, cfg: RAFTConfig):
     fmaps = raft_fnet(params, jnp.concatenate([image1, image2], axis=0), cfg)
     fmap1, fmap2 = fmaps[:n], fmaps[n:]
     pyramid = build_corr_pyramid(
-        fmap1.astype(jnp.float32), fmap2.astype(jnp.float32), cfg.corr_levels
+        fmap1.astype(jnp.float32), fmap2.astype(jnp.float32), cfg.corr_levels,
+        precision=cfg.corr_precision, dtype=jnp.dtype(cfg.corr_volume_dtype),
     )
     net, inp = raft_cnet(params, image1, cfg)
     return pyramid, net, inp
@@ -317,17 +380,29 @@ def raft_iterate(
     if flow_init is not None:
         coords1 = coords1 + flow_init.astype(jnp.float32)
 
-    upd = small_update_block if cfg.small else basic_update_block
+    ub = params["update_block"]
+    gru_step = (
+        None if cfg.small else make_fused_sep_gru(ub["gru"], inp, cfg.hidden_dim)
+    )
 
     def step(carry, _):
         net, coords1 = carry
         coords1 = lax.stop_gradient(coords1)
-        corr = lookup_corr(pyramid, coords1, cfg.radius)
-        flow = coords1 - coords0
-        net, mask, delta = upd(
-            params["update_block"], net, inp, corr.astype(cd), flow.astype(cd),
-            with_mask=not final_only,
+        corr = lookup(
+            pyramid, coords1, cfg.radius,
+            impl=cfg.corr_lookup, precision=cfg.corr_precision,
         )
+        flow = coords1 - coords0
+        if cfg.small:
+            net, mask, delta = small_update_block(
+                ub, net, inp, corr.astype(cd), flow.astype(cd),
+                with_mask=not final_only,
+            )
+        else:
+            motion = basic_motion_encoder(ub["encoder"], flow.astype(cd), corr.astype(cd))
+            net = gru_step(net, motion)
+            delta = flow_head(ub["flow_head"], net)
+            mask = upsample_mask(ub, net) if not final_only else None
         coords1 = coords1 + delta.astype(jnp.float32)
         if final_only:
             return (net, coords1), None
@@ -390,7 +465,8 @@ def raft_pairs_forward(
     fmap1 = fmaps[jnp.asarray([pos[i] for i in src_idx])].reshape(p * n, h // 8, w // 8, -1)
     fmap2 = fmaps[jnp.asarray([pos[i] for i in dst_idx])].reshape(p * n, h // 8, w // 8, -1)
     pyramid = build_corr_pyramid(
-        fmap1.astype(jnp.float32), fmap2.astype(jnp.float32), cfg.corr_levels
+        fmap1.astype(jnp.float32), fmap2.astype(jnp.float32), cfg.corr_levels,
+        precision=cfg.corr_precision, dtype=jnp.dtype(cfg.corr_volume_dtype),
     )
 
     src_used = sorted(set(src_idx))

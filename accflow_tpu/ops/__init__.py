@@ -9,9 +9,11 @@ from accflow_tpu.ops.upsample import convex_upsample, neighborhood3x3  # noqa: F
 from accflow_tpu.ops.corr import (  # noqa: F401
     CorrPyramid,
     build_corr_pyramid,
+    lookup,
     lookup_corr,
     lookup_corr_gather,
     lookup_corr_patch,
+    lookup_corr_rows,
 )
 from accflow_tpu.ops.occlusion import calc_occ_mask, photometric_occ  # noqa: F401
 from accflow_tpu.ops.deform import deform_conv3x3  # noqa: F401

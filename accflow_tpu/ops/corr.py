@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Sequence
 
+import jax
 import jax.numpy as jnp
 
 from accflow_tpu.ops.sampling import bilinear_sample
@@ -49,20 +50,34 @@ def avg_pool2(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def build_corr_pyramid(
-    fmap1: jnp.ndarray, fmap2: jnp.ndarray, num_levels: int = 4
+    fmap1: jnp.ndarray,
+    fmap2: jnp.ndarray,
+    num_levels: int = 4,
+    precision: str = "highest",
+    dtype=jnp.float32,
 ) -> CorrPyramid:
-    """fmap1, fmap2: (B, H, W, C) -> pyramid of (B, H*W, Hl, Wl) float32."""
+    """fmap1, fmap2: (B, H, W, C) -> pyramid of (B, H*W, Hl, Wl) float32.
+
+    precision: MXU precision for the all-pairs matmul. Use "highest" for
+    float32-valued features (parity/golden paths). When the encoders run in
+    bfloat16 the feature values are already bf16-exact, so a single-pass
+    "default" matmul (f32 accumulation) produces the same products at ~6x
+    the throughput of the 6-pass f32 emulation.
+    """
     b, h, w, c = fmap1.shape
     f1 = fmap1.reshape(b, h * w, c).astype(jnp.float32)
     f2 = fmap2.reshape(b, h * w, c).astype(jnp.float32)
-    corr = jnp.einsum("bqc,bkc->bqk", f1, f2, precision="highest")
+    corr = jnp.einsum("bqc,bkc->bqk", f1, f2, precision=precision)
     corr = corr / jnp.sqrt(jnp.float32(c))
     corr = corr.reshape(b, h * w, h, w)
 
-    levels = [corr]
+    # Pyramid pooled in float32, then stored in `dtype`: bf16 storage halves
+    # the volume's HBM footprint and lookup read traffic; the update block
+    # consumes the looked-up values in bfloat16 anyway on the fast path.
+    levels = [corr.astype(dtype)]
     for _ in range(num_levels - 1):
         corr = avg_pool2(corr)
-        levels.append(corr)
+        levels.append(corr.astype(dtype))
     return CorrPyramid(levels=tuple(levels), h1=h, w1=w)
 
 
@@ -104,6 +119,26 @@ def lookup_corr_gather(
         sampled = bilinear_sample(img, pts)  # (Q, 81, 1)
         outs.append(sampled.reshape(b, h, w, num * num))
     return jnp.concatenate(outs, axis=-1)
+
+
+def lookup(
+    pyramid: CorrPyramid,
+    coords: jnp.ndarray,
+    radius: int = 4,
+    impl: str = "mm",
+    precision: str = "highest",
+) -> jnp.ndarray:
+    """Dispatch over the lookup implementations (all numerically
+    equivalent; they differ only in how the work maps onto the TPU)."""
+    if impl == "mm":
+        return lookup_corr(pyramid, coords, radius, precision)
+    if impl == "rows":
+        return lookup_corr_rows(pyramid, coords, radius, precision)
+    if impl == "patch":
+        return lookup_corr_patch(pyramid, coords, radius)
+    if impl == "gather":
+        return lookup_corr_gather(pyramid, coords, radius)
+    raise ValueError(f"unknown corr lookup impl: {impl}")
 
 
 def _window_weights(centers: jnp.ndarray, size: int) -> jnp.ndarray:
@@ -183,8 +218,55 @@ def lookup_corr_patch(
     return jnp.concatenate(outs, axis=-1)
 
 
+def lookup_corr_rows(
+    pyramid: CorrPyramid,
+    coords: jnp.ndarray,
+    radius: int = 4,
+    precision: str = "highest",
+) -> jnp.ndarray:
+    """Row-gather corr lookup.
+
+    All taps of a window share one fractional y offset, so the y-axis
+    contraction of the mm form reduces to gathering 2r+2 CONTIGUOUS rows of
+    each query's (hl, wl) map (a fast strided gather — full cache lines,
+    no per-element addressing) and one 2-tap VPU blend. Only the tiny
+    x-axis tent contraction (9 x wl x 9 per query) stays on the MXU.
+    Numerically identical to lookup_corr/lookup_corr_gather.
+    """
+    b, h, w, _ = coords.shape
+    num = 2 * radius + 1
+    side = num + 1
+    q = b * h * w
+    cf = coords.reshape(q, 2).astype(jnp.float32)
+    delta = jnp.linspace(-radius, radius, num, dtype=jnp.float32)
+    dy = jnp.arange(-radius, radius + 2, dtype=jnp.float32)
+
+    outs = []
+    for i, level in enumerate(pyramid.levels):
+        _, _, hl, wl = level.shape
+        cx = cf[:, 0:1] / (2.0**i) + delta[None]  # (Q, 9) tap x-centers
+        cy = cf[:, 1] / (2.0**i)
+        y0 = jnp.floor(cy)
+        fy = (cy - y0)[:, None, None]
+        py = y0[:, None] + dy[None]  # (Q, side)
+        yvalid = (py >= 0) & (py <= hl - 1)
+        iy = jnp.clip(py, 0, hl - 1).astype(jnp.int32)
+        rows = jax.vmap(lambda m, ii: jnp.take(m, ii, axis=0))(
+            level.reshape(q, hl, wl), iy
+        )  # (Q, side, wl)
+        rows = rows * yvalid[:, :, None].astype(rows.dtype)
+        tmp = (1.0 - fy) * rows[:, :num] + fy * rows[:, 1:]  # (Q, 9=b, wl)
+        wx = _window_weights(cx, wl)  # (Q, 9=a, wl)
+        out = jnp.einsum("qax,qbx->qab", wx, tmp, precision=precision)
+        outs.append(out.reshape(b, h, w, num * num))
+    return jnp.concatenate(outs, axis=-1)
+
+
 def lookup_corr(
-    pyramid: CorrPyramid, coords: jnp.ndarray, radius: int = 4
+    pyramid: CorrPyramid,
+    coords: jnp.ndarray,
+    radius: int = 4,
+    precision: str = "highest",
 ) -> jnp.ndarray:
     """Matmul-based corr lookup — the TPU-native fast path.
 
@@ -212,10 +294,13 @@ def lookup_corr(
         _, _, hl, wl = level.shape
         cx = cf[:, 0:1] / (2.0**i) + delta[None]  # (Q, 9) tap x-centers
         cy = cf[:, 1:2] / (2.0**i) + delta[None]  # (Q, 9) tap y-centers
-        wx = _window_weights(cx, wl)  # (Q, 9, wl)
-        wy = _window_weights(cy, hl)  # (Q, 9, hl)
+        wx = _window_weights(cx, wl).astype(level.dtype)  # (Q, 9, wl)
+        wy = _window_weights(cy, hl).astype(level.dtype)  # (Q, 9, hl)
         corr = level.reshape(q, hl, wl)
-        tmp = jnp.einsum("qby,qyx->qbx", wy, corr, precision="highest")
-        out = jnp.einsum("qax,qbx->qab", wx, tmp, precision="highest")
+        tmp = jnp.einsum("qby,qyx->qbx", wy, corr, precision=precision,
+                         preferred_element_type=jnp.float32)
+        out = jnp.einsum("qax,qbx->qab", wx, tmp.astype(level.dtype),
+                         precision=precision,
+                         preferred_element_type=jnp.float32)
         outs.append(out.reshape(b, h, w, num * num))
     return jnp.concatenate(outs, axis=-1)

@@ -26,7 +26,10 @@ import numpy as np
 REFERENCE_FRAMES_PER_SEC = 14.0
 
 import os
-BATCH = int(os.environ.get("BENCH_BATCH", "1"))
+# BENCH_BATCH may be a single int or a comma list ("1,2,4") to sweep
+# batch sizes within one process (one JSON line per batch; the driver's
+# plain `python bench.py` prints exactly one line).
+BATCHES = [int(x) for x in os.environ.get("BENCH_BATCH", "2").split(",")]
 SIZE = int(os.environ.get("BENCH_SIZE", "512"))
 FRAMES = 7
 WARMUP = 2
@@ -34,6 +37,11 @@ ITERS = 5
 
 
 def main() -> None:
+    for batch in BATCHES:
+        run_one(batch)
+
+
+def run_one(BATCH: int) -> None:
     import jax
     import jax.numpy as jnp
 
@@ -44,7 +52,12 @@ def main() -> None:
         init_accflow,
     )
 
-    est = build_flow_estimator("raft", compute_dtype="bfloat16")
+    est = build_flow_estimator(
+        "raft",
+        compute_dtype="bfloat16",
+        corr_volume_dtype=os.environ.get("BENCH_VOL_DTYPE", "float32"),
+        corr_lookup=os.environ.get("BENCH_LOOKUP", "mm"),
+    )
     acfg = AccFlowConfig(compute_dtype="bfloat16")
     ofe_params = est.init(jax.random.PRNGKey(0))
     acc_params = init_accflow(jax.random.PRNGKey(1), acfg)
@@ -99,7 +112,8 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": f"accflow_raft_frames_per_sec_{SIZE}",
+                "metric": f"accflow_raft_frames_per_sec_{SIZE}"
+                + (f"_b{BATCH}" if len(BATCHES) > 1 else ""),
                 "value": round(frames_per_sec, 3),
                 "unit": "frames/s/chip",
                 "vs_baseline": round(frames_per_sec / REFERENCE_FRAMES_PER_SEC, 3),

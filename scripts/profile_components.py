@@ -6,7 +6,10 @@ dispatch/sync overheads cancel. Run alone (one process per chip).
     python scripts/profile_components.py [batch] [size]
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 import numpy as np
@@ -47,8 +50,13 @@ def main():
         results[name] = t
         print(f"{name:36s} {t*1e3:9.2f} ms")
 
-    # Full RAFT forward (12 iters)
-    bench("raft_forward_12it", lambda a, b: est.forward(params, a, b)["flow_up"], (i1, i2), iters=2)
+    # Full RAFT forward (12 iters, eval path: final-only upsampling)
+    bench(
+        "raft_forward_12it(final_only)",
+        lambda a, b: est.forward(params, a, b, final_only=True)["flow_up"],
+        (i1, i2),
+        iters=2,
+    )
 
     # Encoders + corr build (everything outside the loop)
     bench(
@@ -58,16 +66,31 @@ def main():
         iters=2,
     )
 
-    # Corr build alone
-    bench("corr_build", lambda f: build_corr_pyramid(f, f, 4).levels[0], (fmap,), iters=4)
+    # Corr build alone (production precision)
+    bench(
+        "corr_build(default_prec)",
+        lambda f: build_corr_pyramid(f, f, 4, precision="default").levels[0],
+        (fmap,),
+        iters=4,
+    )
 
-    # One lookup (mm) / (gather)
-    bench("lookup_mm_x1", lambda c: lookup_corr(pyramid, c, 4), (coords,), iters=4)
-    bench("lookup_gather_x1", lambda c: lookup_corr_gather(pyramid, c, 4), (coords,), iters=4)
-    bench("lookup_patch_x1", lambda c: lookup_corr_patch(pyramid, c, 4), (coords,), iters=4)
+    # One lookup (one of 12 iterations), f32 vs bf16 volume
+    bench(
+        "lookup_mm_x1",
+        lambda c: lookup_corr(pyramid, c, 4, precision="default"),
+        (coords,),
+        iters=4,
+    )
+    pyr_bf = build_corr_pyramid(fmap, fmap, 4, precision="default", dtype=jnp.bfloat16)
+    bench(
+        "lookup_mm_bf16vol_x1",
+        lambda c: lookup_corr(pyr_bf, c, 4, precision="default"),
+        (coords,),
+        iters=4,
+    )
 
     print()
-    total = results["raft_forward_12it"]
+    total = results["raft_forward_12it(final_only)"]
     feat = results["raft_features(enc+corr_build)"]
     lk = results["lookup_mm_x1"] * 12
     print(f"approx split of raft pair: features+build {feat*1e3:.1f} ms, "

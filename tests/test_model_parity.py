@@ -123,19 +123,13 @@ def test_gma_parity(image_pair):
             position_and_content=False,
         )
     ).eval()
-    # The unused RelPosEmb params are dropped for conversion (content-only).
     i1, i2 = image_pair
     with torch.no_grad():
         ref = model(i1, i2, iters=6)
 
     cfg = GMAConfig(compute_dtype="float32", iters=6)
     template = init_gma(jax.random.PRNGKey(0), cfg)
-    sd = {
-        k: v
-        for k, v in model.state_dict().items()
-        if not k.startswith("att.pos_emb")
-    }
-    params = convert_state_dict(template, sd)
+    params = convert_state_dict(template, model.state_dict())
     out = gma_forward(params, nhwc(i1), nhwc(i2), cfg)
 
     ours = np.moveaxis(np.asarray(out["flow_up"]), -1, 1)
@@ -251,3 +245,57 @@ def test_pairs_forward_equals_independent():
                 np.asarray(flows[2 * p : 2 * p + 2]), np.asarray(ref),
                 rtol=1e-4, atol=1e-4, err_msg=f"{name} pair {p}",
             )
+
+
+def test_fused_sep_gru_equals_reference():
+    """The scan-hoisted/fused SepConvGRU must match the plain one."""
+    import numpy as np
+
+    from accflow_tpu.models.raft import (
+        init_sep_conv_gru,
+        make_fused_sep_gru,
+        sep_conv_gru,
+    )
+
+    rng = np.random.default_rng(11)
+    hd, idim, vdim = 128, 128, 256
+    p = init_sep_conv_gru(jax.random.PRNGKey(0), hd, idim + vdim)
+    h = jnp.asarray(rng.standard_normal((2, 8, 8, hd)).astype(np.float32))
+    inp = jnp.asarray(rng.standard_normal((2, 8, 8, idim)).astype(np.float32))
+    var = jnp.asarray(rng.standard_normal((2, 8, 8, vdim)).astype(np.float32))
+
+    ref = sep_conv_gru(p, h, jnp.concatenate([inp, var], axis=-1))
+    step = make_fused_sep_gru(p, inp, hd)
+    out = step(h, var)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("branch", ["position_only", "position_and_content"])
+def test_gma_positional_attention_parity(branch):
+    """RelPosEmb branches vs networks/gma/modules.py (h != w to pin axis
+    order)."""
+    import argparse
+    from networks.gma.modules import Attention
+
+    from accflow_tpu.convert.torch_weights import convert_state_dict
+    from accflow_tpu.models.gma import GMAConfig, attention, init_attention
+
+    torch.manual_seed(3)
+    args = argparse.Namespace(
+        position_only=(branch == "position_only"),
+        position_and_content=(branch == "position_and_content"),
+    )
+    model = Attention(args=args, dim=128, heads=1, max_pos_size=160, dim_head=128).eval()
+    fmap = torch.randn(2, 128, 16, 24)
+    with torch.no_grad():
+        ref = model(fmap)
+
+    cfg = GMAConfig(
+        compute_dtype="float32",
+        position_only=args.position_only,
+        position_and_content=args.position_and_content,
+    )
+    template = init_attention(jax.random.PRNGKey(0), cfg)
+    params = convert_state_dict(template, model.state_dict())
+    ours = attention(params, jnp.asarray(_np(fmap).transpose(0, 2, 3, 1)), cfg)
+    np.testing.assert_allclose(np.asarray(ours), _np(ref), rtol=1e-5, atol=1e-6)

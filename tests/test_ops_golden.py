@@ -307,3 +307,17 @@ def test_lookup_corr_patch_equals_gather(rng):
     fast = np.asarray(ops.lookup_corr_patch(pyr, jnp.asarray(coords), radius=4))
     ref = np.asarray(ops.lookup_corr_gather(pyr, jnp.asarray(coords), radius=4))
     np.testing.assert_allclose(fast, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_lookup_corr_rows_equals_gather(rng):
+    b, h, w, c = 2, 16, 16, 16
+    f1 = rng.standard_normal((b, h, w, c)).astype(np.float32)
+    f2 = rng.standard_normal((b, h, w, c)).astype(np.float32)
+    coords = (
+        np.asarray(ops.coords_grid(b, h, w))
+        + rng.uniform(-20, 20, size=(b, h, w, 2)).astype(np.float32)
+    )
+    pyr = ops.build_corr_pyramid(jnp.asarray(f1), jnp.asarray(f2), num_levels=4)
+    fast = np.asarray(ops.lookup_corr_rows(pyr, jnp.asarray(coords), radius=4))
+    ref = np.asarray(ops.lookup_corr_gather(pyr, jnp.asarray(coords), radius=4))
+    np.testing.assert_allclose(fast, ref, rtol=1e-4, atol=1e-4)
