@@ -34,6 +34,7 @@ from accflow_tpu.models.encoders import basic_encoder, init_basic_encoder
 from accflow_tpu.models.raft import (
     RAFTConfig,
     basic_motion_encoder,
+    basic_motion_encoder_split,
     flow_head,
     init_basic_motion_encoder,
     init_flow_head,
@@ -43,7 +44,7 @@ from accflow_tpu.models.raft import (
     upsample_mask,
 )
 from accflow_tpu.nn.layers import conv2d, init_conv, relu
-from accflow_tpu.ops.corr import build_corr_pyramid, lookup
+from accflow_tpu.ops.corr import build_corr_pyramid, lookup, lookup_corr_split
 from accflow_tpu.ops.grids import coords_grid
 from accflow_tpu.ops.upsample import convex_upsample
 
@@ -72,7 +73,7 @@ class GMAConfig:
     # to bf16, which the bf16 update block does anyway after lookup).
     corr_volume_dtype: str = "float32"
     # Corr lookup implementation (see ops/corr.py).
-    corr_lookup: str = "mm"
+    corr_lookup: str = "fused"
 
     @property
     def corr_precision(self) -> str:
@@ -279,12 +280,22 @@ def gma_iterate(
     def step(carry, _):
         net, coords1 = carry
         coords1 = lax.stop_gradient(coords1)
-        corr = lookup(
-            pyramid, coords1, cfg.corr_radius,
-            impl=cfg.corr_lookup, precision=cfg.corr_precision,
-        )
         flow = coords1 - coords0
-        motion = basic_motion_encoder(ub["encoder"], flow.astype(cd), corr.astype(cd))
+        if cfg.corr_lookup == "fused":
+            corr_l = lookup_corr_split(
+                pyramid, coords1, cfg.corr_radius, precision=cfg.corr_precision
+            )
+            motion = basic_motion_encoder_split(
+                ub["encoder"], flow.astype(cd), [c.astype(cd) for c in corr_l]
+            )
+        else:
+            corr = lookup(
+                pyramid, coords1, cfg.corr_radius,
+                impl=cfg.corr_lookup, precision=cfg.corr_precision,
+            )
+            motion = basic_motion_encoder(
+                ub["encoder"], flow.astype(cd), corr.astype(cd)
+            )
         motion_global = aggregate(ub["aggregator"], attn, motion, cfg)
         net = gru_step(net, jnp.concatenate([motion, motion_global], axis=-1))
         delta = flow_head(ub["flow_head"], net)

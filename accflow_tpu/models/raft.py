@@ -36,7 +36,7 @@ from accflow_tpu.models.encoders import (
     small_encoder,
 )
 from accflow_tpu.nn.layers import conv2d, init_conv, relu
-from accflow_tpu.ops.corr import build_corr_pyramid, lookup
+from accflow_tpu.ops.corr import build_corr_pyramid, lookup, lookup_corr_split
 from accflow_tpu.ops.grids import coords_grid, upflow8
 from accflow_tpu.ops.upsample import convex_upsample
 
@@ -56,7 +56,7 @@ class RAFTConfig:
     corr_volume_dtype: str = "float32"
     # Corr lookup implementation: "mm" | "rows" | "patch" | "gather"
     # (numerically equivalent; see ops/corr.py).
-    corr_lookup: str = "mm"
+    corr_lookup: str = "fused"
 
     @property
     def corr_precision(self) -> str:
@@ -197,6 +197,32 @@ def init_basic_motion_encoder(key: jax.Array, corr_planes: int) -> Params:
         "convf2": init_conv(ks[3], 128, 64, 3),
         "conv": init_conv(ks[4], 64 + 192, 128 - 2, 3),
     }
+
+
+def basic_motion_encoder_split(
+    p: Params, flow: jnp.ndarray, corr_levels: list
+) -> jnp.ndarray:
+    """basic_motion_encoder with convc1 fused over unflattened per-level
+    windows (see ops/corr.py::lookup_corr_split). convc1 is 1x1, so
+    convc1(cat(levels)) == sum_l einsum(level_l, W_l) with W reshaped
+    (num_levels, 9, 9, 256) — level-major, x-offset-major, matching the
+    reference's corr channel layout."""
+    n, h, w, num, _ = corr_levels[0].shape
+    wc = p["convc1"]["w"].reshape(len(corr_levels), num, num, -1)
+    cd = corr_levels[0].dtype
+    prec = "highest" if cd == jnp.float32 else "default"
+    cor = p["convc1"]["b"].astype(cd)
+    for l, lvl in enumerate(corr_levels):
+        cor = cor + jnp.einsum(
+            "nhwab,abo->nhwo", lvl, wc[l].astype(cd),
+            precision=prec, preferred_element_type=cd,
+        )
+    cor = relu(cor)
+    cor = relu(conv2d(p["convc2"], cor))
+    flo = relu(conv2d(p["convf1"], flow))
+    flo = relu(conv2d(p["convf2"], flo))
+    out = relu(conv2d(p["conv"], jnp.concatenate([cor, flo], axis=-1)))
+    return jnp.concatenate([out, flow], axis=-1)
 
 
 def basic_motion_encoder(p: Params, flow: jnp.ndarray, corr: jnp.ndarray) -> jnp.ndarray:
@@ -388,18 +414,33 @@ def raft_iterate(
     def step(carry, _):
         net, coords1 = carry
         coords1 = lax.stop_gradient(coords1)
-        corr = lookup(
-            pyramid, coords1, cfg.radius,
-            impl=cfg.corr_lookup, precision=cfg.corr_precision,
-        )
         flow = coords1 - coords0
         if cfg.small:
+            impl = "mm" if cfg.corr_lookup == "fused" else cfg.corr_lookup
+            corr = lookup(
+                pyramid, coords1, cfg.radius,
+                impl=impl, precision=cfg.corr_precision,
+            )
             net, mask, delta = small_update_block(
                 ub, net, inp, corr.astype(cd), flow.astype(cd),
                 with_mask=not final_only,
             )
         else:
-            motion = basic_motion_encoder(ub["encoder"], flow.astype(cd), corr.astype(cd))
+            if cfg.corr_lookup == "fused":
+                corr_l = lookup_corr_split(
+                    pyramid, coords1, cfg.radius, precision=cfg.corr_precision
+                )
+                motion = basic_motion_encoder_split(
+                    ub["encoder"], flow.astype(cd), [c.astype(cd) for c in corr_l]
+                )
+            else:
+                corr = lookup(
+                    pyramid, coords1, cfg.radius,
+                    impl=cfg.corr_lookup, precision=cfg.corr_precision,
+                )
+                motion = basic_motion_encoder(
+                    ub["encoder"], flow.astype(cd), corr.astype(cd)
+                )
             net = gru_step(net, motion)
             delta = flow_head(ub["flow_head"], net)
             mask = upsample_mask(ub, net) if not final_only else None

@@ -49,6 +49,15 @@ def avg_pool2(x: jnp.ndarray) -> jnp.ndarray:
     return x.mean(axis=(3, 5))
 
 
+def avg_pool2_nhwc(x: jnp.ndarray) -> jnp.ndarray:
+    """2x2/stride-2 average pool over H, W of (B, H, W, C)."""
+    b, h, w, c = x.shape
+    h2, w2 = h // 2, w // 2
+    x = x[:, : h2 * 2, : w2 * 2, :]
+    x = x.reshape(b, h2, 2, w2, 2, c)
+    return x.mean(axis=(2, 4))
+
+
 def build_corr_pyramid(
     fmap1: jnp.ndarray,
     fmap2: jnp.ndarray,
@@ -66,18 +75,25 @@ def build_corr_pyramid(
     """
     b, h, w, c = fmap1.shape
     f1 = fmap1.reshape(b, h * w, c).astype(jnp.float32)
-    f2 = fmap2.reshape(b, h * w, c).astype(jnp.float32)
-    corr = jnp.einsum("bqc,bkc->bqk", f1, f2, precision=precision)
-    corr = corr / jnp.sqrt(jnp.float32(c))
-    corr = corr.reshape(b, h * w, h, w)
 
-    # Pyramid pooled in float32, then stored in `dtype`: bf16 storage halves
-    # the volume's HBM footprint and lookup read traffic; the update block
-    # consumes the looked-up values in bfloat16 anyway on the fast path.
-    levels = [corr.astype(dtype)]
-    for _ in range(num_levels - 1):
-        corr = avg_pool2(corr)
-        levels.append(corr.astype(dtype))
+    # Pooling the correlation volume == correlating against pooled key
+    # features (the dot product is linear in f2, and both divide by the
+    # window size), so each level is built DIRECTLY from 2x-pooled fmap2.
+    # This replaces the reference's avg-pool over the (B, Q, Hl, Wl) volume
+    # (networks/raft/corr.py:19-22) — a multi-GB relayout pass on TPU —
+    # with pooling of the tiny (B, Hl, Wl, C) feature map. Exact up to f32
+    # summation order.
+    inv_sqrt_c = 1.0 / jnp.sqrt(jnp.float32(c))
+    levels = []
+    f2l = fmap2.astype(jnp.float32)
+    for _ in range(num_levels):
+        _, hl, wl, _ = f2l.shape
+        corr = jnp.einsum(
+            "bqc,bkc->bqk", f1, f2l.reshape(b, hl * wl, c), precision=precision
+        )
+        corr = corr * inv_sqrt_c
+        levels.append(corr.reshape(b, h * w, hl, wl).astype(dtype))
+        f2l = avg_pool2_nhwc(f2l)
     return CorrPyramid(levels=tuple(levels), h1=h, w1=w)
 
 
@@ -121,6 +137,42 @@ def lookup_corr_gather(
     return jnp.concatenate(outs, axis=-1)
 
 
+def lookup_corr_split(
+    pyramid: CorrPyramid,
+    coords: jnp.ndarray,
+    radius: int = 4,
+    precision: str = "highest",
+) -> list:
+    """mm lookup WITHOUT the output flatten/concat: returns one
+    (B, H, W, num, num) tensor per level, window indexed [a (x offset),
+    b (y offset)]. Consumers that immediately contract the window channels
+    (the motion encoder's 1x1 conv) can einsum these directly against
+    reshaped weights, skipping the (Q,9,9)->(B,H,W,81) relayout and the
+    level concat the flattened form forces (each ~0.5 ms per iteration on
+    a v5e at the CVO-6 serving shape)."""
+    b, h, w, _ = coords.shape
+    num = 2 * radius + 1
+    delta = jnp.linspace(-radius, radius, num, dtype=jnp.float32)
+    q = b * h * w
+    cf = coords.reshape(q, 2).astype(jnp.float32)
+
+    outs = []
+    for i, level in enumerate(pyramid.levels):
+        _, _, hl, wl = level.shape
+        cx = cf[:, 0:1] / (2.0**i) + delta[None]
+        cy = cf[:, 1:2] / (2.0**i) + delta[None]
+        wx = _window_weights(cx, wl).astype(level.dtype)
+        wy = _window_weights(cy, hl).astype(level.dtype)
+        corr = level.reshape(q, hl, wl)
+        tmp = jnp.einsum("qby,qyx->qbx", wy, corr, precision=precision,
+                         preferred_element_type=jnp.float32)
+        out = jnp.einsum("qax,qbx->qab", wx, tmp.astype(level.dtype),
+                         precision=precision,
+                         preferred_element_type=jnp.float32)
+        outs.append(out.reshape(b, h, w, num, num))
+    return outs
+
+
 def lookup(
     pyramid: CorrPyramid,
     coords: jnp.ndarray,
@@ -132,6 +184,15 @@ def lookup(
     equivalent; they differ only in how the work maps onto the TPU)."""
     if impl == "mm":
         return lookup_corr(pyramid, coords, radius, precision)
+    if impl == "pallas":
+        from accflow_tpu.ops.corr_pallas import lookup_corr_pallas
+
+        # precision=highest (f32 parity paths) -> stream the storage dtype
+        # exactly; default -> bf16 streaming (what the MXU would do anyway).
+        import jax.numpy as _jnp
+
+        stream = None if precision == "highest" else _jnp.bfloat16
+        return lookup_corr_pallas(pyramid, coords, radius, stream_dtype=stream)
     if impl == "rows":
         return lookup_corr_rows(pyramid, coords, radius, precision)
     if impl == "patch":

@@ -44,12 +44,18 @@ def convex_upsample(flow: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     computes this outside autocast).
     """
     n, h, w, _ = flow.shape
-    mask = mask.reshape(n, h, w, 9, 8, 8).astype(jnp.float32)
-    mask = jax.nn.softmax(mask, axis=3)
+    # Keep the softmax reduction on the MINOR axis: (..., 64, 9) instead of
+    # the 6D (..., 9, 8, 8) view — the latter makes XLA relayout the whole
+    # mask around the axis-3 reduce (two ~400 MB copies per call at 512^2).
+    logits = (
+        mask.reshape(n, h, w, 9, 64).astype(jnp.float32).swapaxes(-1, -2)
+    )  # (N, H, W, 64, 9)
+    probs = jax.nn.softmax(logits, axis=-1)
 
     nbh = neighborhood3x3(8.0 * flow.astype(jnp.float32))  # (N, H, W, 9, 2)
-    # (N, H, W, 8, 8, 2): convex combination over the 9 taps.
-    up = jnp.einsum("nhwkrs,nhwkc->nhwrsc", mask, nbh, precision="highest")
+    # (N, H, W, 64, 2): convex combination over the 9 taps; s = r*8 + c.
+    up = jnp.einsum("nhwsk,nhwkc->nhwsc", probs, nbh, precision="highest")
+    up = up.reshape(n, h, w, 8, 8, 2)
     # (i, r, j, s) -> rows 8i+r, cols 8j+s.
     up = up.transpose(0, 1, 3, 2, 4, 5)  # (N, H, 8, W, 8, 2)
     return up.reshape(n, 8 * h, 8 * w, 2)

@@ -1,0 +1,105 @@
+"""End-to-end ablation bench: isolate per-iteration vs fixed costs.
+
+Runs the AccFlow+RAFT serving step (as bench.py, batch 2, 512^2) under
+config variants in ONE process and prints clip-rate per variant:
+
+- base:      mm lookup, f32 corr volume, 12 OFE iters
+- vol_bf16:  bfloat16 corr volume storage
+- iters6/3:  fewer GRU iterations -> linear fit gives ms/iteration
+             (lookup + update block) vs fixed (encoders + corr build +
+             accumulation cells + upsampling)
+
+    python scripts/bench_ablate.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+BATCH = int(os.environ.get("BENCH_BATCH", "2"))
+SIZE = int(os.environ.get("BENCH_SIZE", "512"))
+FRAMES = 7
+K = 4
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from accflow_tpu.models import build_flow_estimator
+    from accflow_tpu.models.accflow import AccFlowConfig, accflow_forward, init_accflow
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(
+        rng.uniform(-1.0, 1.0, (FRAMES, BATCH, SIZE, SIZE, 3)).astype(np.float32)
+    )
+
+    def clip_time(est, acfg):
+        ofe_params = est.init(jax.random.PRNGKey(0))
+        acc_params = init_accflow(jax.random.PRNGKey(1), acfg)
+
+        def run(acc_params, ofe_params, images):
+            ofe_fn = lambda a, b: est.forward(ofe_params, a, b, final_only=True)["flow_up"]
+            return accflow_forward(
+                acc_params, ofe_fn, images, acfg, ofe_pairs=est.pairs_fn(ofe_params)
+            )
+
+        def make_loop(k):
+            def loop(acc_params, ofe_params, images):
+                def body(i, carry):
+                    checksum, images = carry
+                    outs = run(acc_params, ofe_params, images)
+                    s = jnp.sum(outs[-1][0, 0, 0]).astype(jnp.float32)
+                    images = images + s * 1e-30
+                    return (checksum + s, images)
+
+                checksum, _ = jax.lax.fori_loop(0, k, body, (jnp.float32(0.0), images))
+                return checksum
+
+            return jax.jit(loop)
+
+        f1, f2 = make_loop(K), make_loop(2 * K)
+        float(f1(acc_params, ofe_params, images))
+        float(f2(acc_params, ofe_params, images))
+        t0 = time.perf_counter()
+        float(f1(acc_params, ofe_params, images))
+        t1 = time.perf_counter()
+        float(f2(acc_params, ofe_params, images))
+        t2 = time.perf_counter()
+        return max((t2 - t1) - (t1 - t0), 1e-9) / K / BATCH
+
+    acfg = AccFlowConfig(compute_dtype="bfloat16")
+    import os as _os
+    variants = [
+        ("base_12it_f32vol", dict()),
+        ("lookup_pallas", dict(corr_lookup="pallas")),
+        ("iters3", dict(iters=3)),
+        ("iters3_pallas", dict(iters=3, corr_lookup="pallas")),
+    ]
+    sel = _os.environ.get("ABLATE", "")
+    if sel:
+        names = sel.split(",")
+        variants = [v for v in variants if v[0] in names]
+    times = {}
+    for name, kw in variants:
+        est = build_flow_estimator("raft", compute_dtype="bfloat16", **kw)
+        t = clip_time(est, acfg)
+        times[name] = t
+        print(f"{name:22s} {t*1e3:8.1f} ms/clip  ({FRAMES/t:6.1f} frames/s)", flush=True)
+
+    for suffix in ("", "_pallas"):
+        full = "base_12it_f32vol" if not suffix else "lookup_pallas"
+        it3 = "iters3" + suffix
+        if full in times and it3 in times:
+            per_iter = (times[full] - times[it3]) / 9.0
+            fixed = times[full] - 12 * per_iter
+            print(f"[{full}] per-iter: {per_iter*1e3:.2f} ms/clip/iter; "
+                  f"fixed: {fixed*1e3:.1f} ms/clip")
+
+
+if __name__ == "__main__":
+    main()

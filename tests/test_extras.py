@@ -108,3 +108,82 @@ def test_checkpoint_manager_roundtrip(tmp_path):
     back = mgr.restore(state)
     np.testing.assert_allclose(np.asarray(back["w"]), 2 * np.ones(4))
     mgr.close()
+
+
+def test_count_parameters():
+    from accflow_tpu.utils.logging import count_parameters
+
+    params = {"a": {"w": np.zeros((3, 3, 8, 16)), "b": np.zeros((16,))},
+              "c": np.zeros((5,))}
+    assert count_parameters(params) == 3 * 3 * 8 * 16 + 16 + 5
+
+
+def test_corr_single_scale_matches_pyramid_level0(rng):
+    from accflow_tpu.ops.corr import (
+        build_corr_pyramid,
+        build_corr_single_scale,
+        lookup_corr,
+    )
+    from accflow_tpu.ops.grids import coords_grid
+
+    f1 = jnp.asarray(rng.standard_normal((1, 12, 12, 8)).astype(np.float32))
+    f2 = jnp.asarray(rng.standard_normal((1, 12, 12, 8)).astype(np.float32))
+    single = build_corr_single_scale(f1, f2)
+    pyr = build_corr_pyramid(f1, f2, num_levels=4)
+    assert len(single.levels) == 1
+    np.testing.assert_allclose(
+        np.asarray(single.levels[0]), np.asarray(pyr.levels[0]), rtol=1e-6, atol=1e-6
+    )
+    coords = coords_grid(1, 12, 12)
+    out = lookup_corr(single, coords, radius=4)
+    assert out.shape == (1, 12, 12, 81)
+
+
+def test_warmstart_constant_flow(rng):
+    """A constant flow field forward-splats onto itself: interior values
+    survive, and the scipy reference path agrees with the on-device one
+    away from the advected boundary."""
+    from accflow_tpu.ops.warmstart import (
+        forward_interpolate_flow,
+        forward_splat_flow,
+    )
+
+    h, w = 24, 24
+    flow = np.zeros((h, w, 2), np.float32)
+    flow[..., 0] = 3.0  # dx
+    flow[..., 1] = 2.0  # dy
+
+    ref = forward_interpolate_flow(flow)
+    dev = np.asarray(forward_splat_flow(jnp.asarray(flow)[None]))[0]
+    # Interior (splat-covered) region: both must reproduce the constant.
+    np.testing.assert_allclose(ref[6:-6, 6:-6], flow[6:-6, 6:-6], atol=1e-5)
+    np.testing.assert_allclose(dev[6:-6, 6:-6], flow[6:-6, 6:-6], atol=1e-4)
+
+
+def test_high_speed_sintel_layout(tmp_path, rng):
+    """HighSpeedSintel reads the reference's directory layout
+    (data/dataset.py:164-236): 2_imgs/, 43_imgs/, one .flo, one occ png."""
+    import cv2
+
+    from accflow_tpu.data.sintel import fetch_sintel_dataset
+    from accflow_tpu.utils.frame_io import write_flow
+
+    root = tmp_path / "seq_0001"
+    (root / "2_imgs").mkdir(parents=True)
+    (root / "43_imgs").mkdir()
+    img = (rng.uniform(0, 255, (64, 128, 3))).astype(np.uint8)
+    for i in range(2):
+        cv2.imwrite(str(root / "2_imgs" / f"{i:02d}.png"), img)
+    for i in range(13):
+        cv2.imwrite(str(root / "43_imgs" / f"{i:02d}.png"), img)
+    write_flow(str(root / "gt.flo"), rng.standard_normal((64, 128, 2)).astype(np.float32))
+    cv2.imwrite(str(root / "occ.png"), (img[..., :1] > 127).astype(np.uint8) * 255)
+
+    ds = fetch_sintel_dataset(str(tmp_path), interv=6)
+    assert len(ds) == 1
+    s = ds.get(0)
+    assert s["gt_flow"].shape == (64, 128, 2)
+    assert s["occ_mask"].shape == (64, 128, 1)
+    assert len(s["sintel_imgs"]) == 2
+    assert len(s["hs_sintel_imgs"]) == 3  # ceil(13 / 6)
+    assert s["hs_sintel_imgs"][0].shape == (436, 1024, 3)

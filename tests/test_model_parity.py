@@ -299,3 +299,26 @@ def test_gma_positional_attention_parity(branch):
     params = convert_state_dict(template, model.state_dict())
     ours = attention(params, jnp.asarray(_np(fmap).transpose(0, 2, 3, 1)), cfg)
     np.testing.assert_allclose(np.asarray(ours), _np(ref), rtol=1e-5, atol=1e-6)
+
+
+def test_raft_small_smoke():
+    """The small RAFT variant (96/64 dims, r=3, ConvGRU, no learned
+    upsampling mask) runs and produces sane shapes. No released checkpoint
+    exercises it, so this pins the code path rather than golden values."""
+    import numpy as np
+
+    from accflow_tpu.models.raft import RAFTConfig, init_raft, raft_forward
+
+    cfg = RAFTConfig(small=True, compute_dtype="float32", iters=3)
+    params = init_raft(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    i1 = jnp.asarray(rng.uniform(-1, 1, (1, 64, 64, 3)).astype(np.float32))
+    i2 = jnp.asarray(rng.uniform(-1, 1, (1, 64, 64, 3)).astype(np.float32))
+    out = raft_forward(params, i1, i2, cfg)
+    assert out["flow_up"].shape == (1, 64, 64, 2)
+    assert out["predictions"].shape == (3, 1, 64, 64, 2)
+    assert np.isfinite(np.asarray(out["flow_up"])).all()
+    out_f = raft_forward(params, i1, i2, cfg, final_only=True)
+    np.testing.assert_allclose(
+        np.asarray(out_f["flow_up"]), np.asarray(out["flow_up"]), rtol=1e-5, atol=1e-5
+    )

@@ -321,3 +321,43 @@ def test_lookup_corr_rows_equals_gather(rng):
     fast = np.asarray(ops.lookup_corr_rows(pyr, jnp.asarray(coords), radius=4))
     ref = np.asarray(ops.lookup_corr_gather(pyr, jnp.asarray(coords), radius=4))
     np.testing.assert_allclose(fast, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_lookup_corr_pallas_equals_gather(rng):
+    """Fused Pallas lookup (interpret mode on CPU) vs the gather reference."""
+    b, h, w, c = 2, 16, 16, 16
+    f1 = rng.standard_normal((b, h, w, c)).astype(np.float32)
+    f2 = rng.standard_normal((b, h, w, c)).astype(np.float32)
+    coords = (
+        np.asarray(ops.coords_grid(b, h, w))
+        + rng.uniform(-20, 20, size=(b, h, w, 2)).astype(np.float32)
+    )
+    pyr = ops.build_corr_pyramid(jnp.asarray(f1), jnp.asarray(f2), num_levels=4)
+    fast = np.asarray(
+        ops.lookup_corr_pallas(pyr, jnp.asarray(coords), radius=4, stream_dtype=None)
+    )
+    ref = np.asarray(ops.lookup_corr_gather(pyr, jnp.asarray(coords), radius=4))
+    np.testing.assert_allclose(fast, ref, rtol=1e-4, atol=1e-4)
+    # bf16-streamed fast path: quantization-level agreement only.
+    fast_bf = np.asarray(ops.lookup_corr_pallas(pyr, jnp.asarray(coords), radius=4))
+    np.testing.assert_allclose(fast_bf, ref, rtol=2e-2, atol=5e-2)
+
+
+def test_lookup_corr_split_matches_flat(rng):
+    """Per-level split lookup == the flattened mm lookup, reassembled."""
+    b, h, w, c = 2, 16, 16, 16
+    f1 = rng.standard_normal((b, h, w, c)).astype(np.float32)
+    f2 = rng.standard_normal((b, h, w, c)).astype(np.float32)
+    coords = (
+        np.asarray(ops.coords_grid(b, h, w))
+        + rng.uniform(-20, 20, size=(b, h, w, 2)).astype(np.float32)
+    )
+    pyr = ops.build_corr_pyramid(jnp.asarray(f1), jnp.asarray(f2), num_levels=4)
+    from accflow_tpu.ops.corr import lookup_corr_split
+
+    levels = lookup_corr_split(pyr, jnp.asarray(coords), radius=4)
+    flat = np.concatenate(
+        [np.asarray(l).reshape(b, h, w, 81) for l in levels], axis=-1
+    )
+    ref = np.asarray(ops.lookup_corr(pyr, jnp.asarray(coords), radius=4))
+    np.testing.assert_allclose(flat, ref, rtol=1e-5, atol=1e-5)
