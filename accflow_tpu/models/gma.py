@@ -44,7 +44,12 @@ from accflow_tpu.models.raft import (
     upsample_mask,
 )
 from accflow_tpu.nn.layers import conv2d, init_conv, relu
-from accflow_tpu.ops.corr import build_corr_pyramid, lookup, lookup_corr_split
+from accflow_tpu.ops.corr import (
+    build_corr_pyramid,
+    lookup,
+    lookup_corr_split,
+    lookup_corr_split_packed,
+)
 from accflow_tpu.ops.grids import coords_grid
 from accflow_tpu.ops.upsample import convex_upsample
 
@@ -281,8 +286,13 @@ def gma_iterate(
         net, coords1 = carry
         coords1 = lax.stop_gradient(coords1)
         flow = coords1 - coords0
-        if cfg.corr_lookup == "fused":
-            corr_l = lookup_corr_split(
+        if cfg.corr_lookup in ("fused", "packed"):
+            split = (
+                lookup_corr_split_packed
+                if cfg.corr_lookup == "packed"
+                else lookup_corr_split
+            )
+            corr_l = split(
                 pyramid, coords1, cfg.corr_radius, precision=cfg.corr_precision
             )
             motion = basic_motion_encoder_split(

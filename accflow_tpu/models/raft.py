@@ -36,7 +36,12 @@ from accflow_tpu.models.encoders import (
     small_encoder,
 )
 from accflow_tpu.nn.layers import conv2d, init_conv, relu
-from accflow_tpu.ops.corr import build_corr_pyramid, lookup, lookup_corr_split
+from accflow_tpu.ops.corr import (
+    build_corr_pyramid,
+    lookup,
+    lookup_corr_split,
+    lookup_corr_split_packed,
+)
 from accflow_tpu.ops.grids import coords_grid, upflow8
 from accflow_tpu.ops.upsample import convex_upsample
 
@@ -207,16 +212,27 @@ def basic_motion_encoder_split(
     convc1(cat(levels)) == sum_l einsum(level_l, W_l) with W reshaped
     (num_levels, 9, 9, 256) — level-major, x-offset-major, matching the
     reference's corr channel layout."""
-    n, h, w, num, _ = corr_levels[0].shape
-    wc = p["convc1"]["w"].reshape(len(corr_levels), num, num, -1)
+    num = corr_levels[0].shape[-1]
+    nlev = sum(1 if part.ndim == 5 else part.shape[3] for part in corr_levels)
+    wc = p["convc1"]["w"].reshape(nlev, num, num, -1)
     cd = corr_levels[0].dtype
     prec = "highest" if cd == jnp.float32 else "default"
     cor = p["convc1"]["b"].astype(cd)
-    for l, lvl in enumerate(corr_levels):
-        cor = cor + jnp.einsum(
-            "nhwab,abo->nhwo", lvl, wc[l].astype(cd),
-            precision=prec, preferred_element_type=cd,
-        )
+    li = 0
+    for part in corr_levels:
+        if part.ndim == 5:  # (N, H, W, 9, 9) single level
+            cor = cor + jnp.einsum(
+                "nhwab,abo->nhwo", part, wc[li].astype(cd),
+                precision=prec, preferred_element_type=cd,
+            )
+            li += 1
+        else:  # (N, H, W, L, 9, 9) packed levels
+            ln = part.shape[3]
+            cor = cor + jnp.einsum(
+                "nhwlab,labo->nhwo", part, wc[li : li + ln].astype(cd),
+                precision=prec, preferred_element_type=cd,
+            )
+            li += ln
     cor = relu(cor)
     cor = relu(conv2d(p["convc2"], cor))
     flo = relu(conv2d(p["convf1"], flow))
@@ -426,8 +442,13 @@ def raft_iterate(
                 with_mask=not final_only,
             )
         else:
-            if cfg.corr_lookup == "fused":
-                corr_l = lookup_corr_split(
+            if cfg.corr_lookup in ("fused", "packed"):
+                split = (
+                    lookup_corr_split_packed
+                    if cfg.corr_lookup == "packed"
+                    else lookup_corr_split
+                )
+                corr_l = split(
                     pyramid, coords1, cfg.radius, precision=cfg.corr_precision
                 )
                 motion = basic_motion_encoder_split(

@@ -137,6 +137,79 @@ def lookup_corr_gather(
     return jnp.concatenate(outs, axis=-1)
 
 
+def lookup_corr_split_packed(
+    pyramid: CorrPyramid,
+    coords: jnp.ndarray,
+    radius: int = 4,
+    precision: str = "highest",
+) -> list:
+    """lookup_corr_split with levels 1..L-1 PACKED into one volume.
+
+    On TPU the small pyramid levels' lookups are overhead-bound, not
+    data-bound (the batched (9, hl) x (hl, wl) matmuls pay per-batch-element
+    dispatch: measured 1.8/1.3/0.9 ms for levels 1-3 vs 2.6 ms for the 21x
+    larger level 0). Packing them — y-concatenated, x zero-padded to
+    level 1's width — turns three batched matmuls into one with 3x the M
+    rows. Numerically exact: the per-level tent weights are masked to
+    their own y-range, and taps landing in x padding multiply zeros,
+    which is precisely the zeros-padding sampling semantics.
+
+    Returns [level0 (B,H,W,9,9), packed (B,H,W,L-1,9,9)].
+    """
+    b, h, w, _ = coords.shape
+    num = 2 * radius + 1
+    delta = jnp.linspace(-radius, radius, num, dtype=jnp.float32)
+    q = b * h * w
+    cf = coords.reshape(q, 2).astype(jnp.float32)
+
+    out0 = lookup_corr_split(
+        CorrPyramid(levels=pyramid.levels[:1], h1=pyramid.h1, w1=pyramid.w1),
+        coords, radius, precision,
+    )[0]
+
+    small = pyramid.levels[1:]
+    nl = len(small)
+    wp = small[0].shape[3]  # pack width = level 1's wl
+    offs = []
+    rows = []
+    off = 0
+    for lvl in small:
+        _, _, hl, wl = lvl.shape
+        offs.append(off)
+        rows.append(
+            jnp.pad(lvl.reshape(q, hl, wl), ((0, 0), (0, 0), (0, wp - wl)))
+        )
+        off += hl
+    packed = jnp.concatenate(rows, axis=1)  # (Q, sum_hl, wp)
+    ycat = off
+
+    # Masked per-level tent weights over the concatenated y axis.
+    ys = jnp.arange(ycat, dtype=jnp.float32)
+    wys = []
+    wxs = []
+    for li, lvl in enumerate(small):
+        _, _, hl, wl = lvl.shape
+        scale = 2.0 ** (li + 1)
+        cy = cf[:, 1:2] / scale + delta[None] + float(offs[li])  # (Q, 9)
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(ys[None, None, :] - cy[..., None]))
+        mask = (ys >= offs[li]) & (ys < offs[li] + hl)
+        wys.append(wy * mask[None, None, :])
+        cx = cf[:, 0:1] / scale + delta[None]
+        wxs.append(_window_weights(cx, wp))
+    wy_p = jnp.stack(wys, axis=1).astype(packed.dtype)  # (Q, L-1, 9, ycat)
+    wx_p = jnp.stack(wxs, axis=1).astype(packed.dtype)  # (Q, L-1, 9, wp)
+
+    tmp = jnp.einsum(
+        "qlby,qyx->qlbx", wy_p, packed, precision=precision,
+        preferred_element_type=jnp.float32,
+    )
+    out = jnp.einsum(
+        "qlax,qlbx->qlab", wx_p, tmp.astype(packed.dtype), precision=precision,
+        preferred_element_type=jnp.float32,
+    )
+    return [out0, out.reshape(b, h, w, nl, num, num)]
+
+
 def lookup_corr_split(
     pyramid: CorrPyramid,
     coords: jnp.ndarray,
