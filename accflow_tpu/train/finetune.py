@@ -105,10 +105,17 @@ def fine_tune(opt, max_steps: int | None = None):
     batch = opt.batch_per_gpu * n_dev
     gamma = opt.get("gamma", 0.85)
 
+    # Debug-name frequency override (train_acc.py:33-35).
+    if "debug" in str(opt.exp_name).lower():
+        opt["valid_freq"] = 10
+        opt["log_freq"] = 1
     log_dir = opt.get("log_dir", f"./logs/{opt.exp_name}")
     ckpt_dir = opt.get("ckpt_dir", f"./checkpoints/{opt.exp_name}")
-    if opt.get("resume") is None and osp.isdir(log_dir):
-        os.rename(log_dir, log_dir + "_archived_" + get_timestamp())
+    if opt.get("resume") is None:
+        # Archive stale run dirs (train_acc.py:39-45) — logs AND checkpoints.
+        for d in (log_dir, ckpt_dir):
+            if osp.isdir(d):
+                os.rename(d, d + "_archived_" + get_timestamp())
     os.makedirs(log_dir, exist_ok=True)
     logger = setup_logger("accflow_ft", log_dir, "finetune_" + opt.exp_name, tofile=True)
 
@@ -150,7 +157,10 @@ def fine_tune(opt, max_steps: int | None = None):
     ckpt = CheckpointManager(ckpt_dir, keep=4)
     current_step = 0
     if opt.get("resume") is not None:
-        state = ckpt.restore(state)
+        # "auto" -> latest saved step; an int -> that numbered checkpoint
+        # (train_acc.py:27-32 semantics).
+        step = None if str(opt.resume) == "auto" else int(opt.resume)
+        state = ckpt.restore(state, step=step)
         current_step = int(state.step)
 
     key = jax.random.PRNGKey(opt.get("seed", 0) + 1)

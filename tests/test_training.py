@@ -171,3 +171,44 @@ def test_accflow_remat_grads_match(rng):
     g1 = jax.grad(loss)(params, cfg1)
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_train_acc_resume_auto(tmp_path):
+    """Checkpoint/resume parity (train_acc.py:27-32,174-191): a second run
+    with resume='auto' restores the latest state and continues counting."""
+    from accflow_tpu.data.synthetic import write_synthetic_cvor
+    from accflow_tpu.train.engine import train_acc
+    from accflow_tpu.utils.config import AttrDict
+
+    root = str(tmp_path / "cvor")
+    write_synthetic_cvor(root, num_train=8, num_test=2, h=64, w=64)
+
+    def opts(resume=None):
+        return AttrDict(
+            exp_name="Acc+RAFT-debug",
+            epochs=2,
+            lr=1e-4,
+            wdecay=1e-5,
+            epsilon=1e-8,
+            compute_dtype="float32",
+            batch_per_gpu=1,
+            clip=1.0,
+            add_noise=False,
+            log_freq=1,
+            valid_freq=100,
+            image_size=64,
+            dataset_root=root,
+            log_dir=str(tmp_path / "logs"),
+            ckpt_dir=str(tmp_path / "ckpt"),
+            visual_samples=[],
+            resume=resume,
+            seed=3,
+        )
+
+    state1 = train_acc(opts(), max_steps=2)
+    assert int(state1.step) == 2
+    state2 = train_acc(opts(resume="auto"), max_steps=4)
+    assert int(state2.step) == 4
+    # resuming from the numbered step also works
+    state3 = train_acc(opts(resume=2), max_steps=3)
+    assert int(state3.step) == 3
