@@ -140,12 +140,15 @@ def attention(p: Params, fmap: jnp.ndarray, cfg: GMAConfig) -> jnp.ndarray:
     qk = conv2d(p["to_qk"], fmap, padding=0)
     q, k = jnp.split(qk, 2, axis=-1)
     # torch channel layout (h d) -> heads-major split.
+    # bf16-valued q/k lose nothing to a single-pass matmul; true-f32
+    # parity paths keep exact emulation (see RAFTConfig.corr_precision).
+    prec = "highest" if qk.dtype == jnp.float32 else "default"
     q = q.reshape(n, h, w, heads, dh).astype(jnp.float32) * (dh**-0.5)
     k = k.reshape(n, h, w, heads, dh).astype(jnp.float32)
     if cfg.position_only:
         sim = rel_pos_score(p["pos_emb"], q, cfg)
     else:
-        sim = jnp.einsum("nxyhd,nuvhd->nhxyuv", q, k, precision="highest")
+        sim = jnp.einsum("nxyhd,nuvhd->nhxyuv", q, k, precision=prec)
         if cfg.position_and_content:
             sim = sim + rel_pos_score(p["pos_emb"], q, cfg)
     sim = sim.reshape(n, heads, h * w, h * w)

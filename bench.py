@@ -53,7 +53,7 @@ def run_one(BATCH: int) -> None:
     )
 
     est = build_flow_estimator(
-        "raft",
+        os.environ.get("BENCH_OFE", "raft"),
         compute_dtype="bfloat16",
         corr_volume_dtype=os.environ.get("BENCH_VOL_DTYPE", "float32"),
         corr_lookup=os.environ.get("BENCH_LOOKUP", "mm"),
@@ -112,7 +112,8 @@ def run_one(BATCH: int) -> None:
     print(
         json.dumps(
             {
-                "metric": f"accflow_raft_frames_per_sec_{SIZE}"
+                "metric": "accflow_%s_frames_per_sec_%d"
+                % (os.environ.get("BENCH_OFE", "raft"), SIZE)
                 + (f"_b{BATCH}" if len(BATCHES) > 1 else ""),
                 "value": round(frames_per_sec, 3),
                 "unit": "frames/s/chip",
