@@ -55,10 +55,19 @@ class CVODataset:
         return len(self.reader)
 
     def get(self, index: int, rng: Optional[np.random.Generator] = None) -> Dict[str, np.ndarray]:
-        sample = self.reader.sample(index)
         if self.is_training:
+            # Same draw order/window as augment.random_crop, but the crop
+            # is applied to the RAW records so only the window is decoded.
             rng = rng if rng is not None else np.random.default_rng()
-            sample = random_crop(sample, self.crop_size, rng)
+            cs = self.crop_size
+            ch, cw = (cs, cs) if isinstance(cs, int) else cs
+            spec = next(iter(self.reader.meta["keys"].values()))
+            ht, wd = spec["shape"][0], spec["shape"][1]
+            y0 = int(rng.integers(0, ht - ch)) if ht > ch else 0
+            x0 = int(rng.integers(0, wd - cw)) if wd > cw else 0
+            sample = self.reader.sample_cropped(index, y0, x0, ch, cw)
+        else:
+            sample = self.reader.sample(index)
         if self._img_key != "imgs":
             sample["imgs"] = sample.pop(self._img_key)
         return sample
