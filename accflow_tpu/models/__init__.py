@@ -6,7 +6,6 @@ configs do (train_acc.py:158)."""
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

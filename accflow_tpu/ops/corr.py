@@ -23,7 +23,7 @@ path; this module is the XLA reference implementation.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Sequence
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

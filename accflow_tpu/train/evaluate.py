@@ -15,7 +15,6 @@ one jitted program; batches stream through the device prefetcher.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax

@@ -22,7 +22,6 @@ from __future__ import annotations
 import os
 import os.path as osp
 from functools import partial
-from typing import Any
 
 import jax
 import jax.numpy as jnp
