@@ -67,3 +67,28 @@ def test_spatial_sharding_conv_halo(cpu_devices):
     ps = jax.device_put(params, NamedSharding(mesh, P()))
     out = np.asarray(fwd(ps, xs))
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_spatial_sharded_raft_forward_matches(cpu_devices):
+    """Full RAFT forward with the image HEIGHT sharded across devices ==
+    unsharded execution — the multi-chip SERVING path for frames larger
+    than one chip's HBM. GSPMD inserts conv halo exchanges and gathers
+    fmap2 for the all-pairs correlation; outputs must be identical."""
+    from accflow_tpu.models import build_flow_estimator
+    from accflow_tpu.parallel.mesh import make_mesh, shard_params
+
+    est = build_flow_estimator("raft", compute_dtype="float32")
+    params = est.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(1)
+    i1 = jnp.asarray(rng.uniform(-1, 1, (1, 128, 128, 3)).astype(np.float32))
+    i2 = jnp.asarray(rng.uniform(-1, 1, (1, 128, 128, 3)).astype(np.float32))
+
+    fwd = jax.jit(lambda p, a, b: est.forward(p, a, b, iters=2)["flow_up"])
+    ref = np.asarray(fwd(params, i1, i2))
+
+    mesh = make_mesh(n_data=1, n_spatial=8)
+    ps = shard_params(mesh, params)
+    sh = NamedSharding(mesh, P(None, "spatial", None, None))
+    out = fwd(ps, jax.device_put(i1, sh), jax.device_put(i2, sh))
+    assert len(out.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-3, atol=1e-3)
