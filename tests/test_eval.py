@@ -38,3 +38,17 @@ def test_evaluate_acc_raft(tmp_path, monkeypatch):
         compute_dtype="float32",
     )
     assert all(np.isfinite(v) for v in res.values())
+
+
+def test_evaluate_direct_gma(tmp_path, monkeypatch):
+    root = str(tmp_path / "cvor")
+    write_synthetic_cvor(root, num_train=1, num_test=2, h=64, w=64)
+    monkeypatch.chdir(tmp_path)
+
+    res = evaluate_cvo(
+        "direct|gma", root, split="final", batch=2, iters=2,
+        compute_dtype="float32",
+    )
+    assert set(res) == {"all", "occ", "vis"}
+    assert all(np.isfinite(v) for v in res.values())
+    assert osp.exists(tmp_path / "test_result_final_E6.txt")
