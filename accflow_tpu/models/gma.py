@@ -289,15 +289,17 @@ def gma_iterate(
         net, coords1 = carry
         coords1 = lax.stop_gradient(coords1)
         flow = coords1 - coords0
-        if cfg.corr_lookup in ("fused", "packed"):
-            split = (
-                lookup_corr_split_packed
-                if cfg.corr_lookup == "packed"
-                else lookup_corr_split
-            )
-            corr_l = split(
-                pyramid, coords1, cfg.corr_radius, precision=cfg.corr_precision
-            )
+        if cfg.corr_lookup in ("fused", "fusedv", "packed"):
+            if cfg.corr_lookup == "packed":
+                corr_l = lookup_corr_split_packed(
+                    pyramid, coords1, cfg.corr_radius, precision=cfg.corr_precision
+                )
+            else:
+                corr_l = lookup_corr_split(
+                    pyramid, coords1, cfg.corr_radius,
+                    precision=cfg.corr_precision,
+                    x_contraction="vpu" if cfg.corr_lookup == "fusedv" else "mxu",
+                )
             motion = basic_motion_encoder_split(
                 ub["encoder"], flow.astype(cd), [c.astype(cd) for c in corr_l]
             )

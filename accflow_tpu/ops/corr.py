@@ -215,6 +215,7 @@ def lookup_corr_split(
     coords: jnp.ndarray,
     radius: int = 4,
     precision: str = "highest",
+    x_contraction: str = "mxu",
 ) -> list:
     """mm lookup WITHOUT the output flatten/concat: returns one
     (B, H, W, num, num) tensor per level, window indexed [a (x offset),
@@ -239,9 +240,20 @@ def lookup_corr_split(
         corr = level.reshape(q, hl, wl)
         tmp = jnp.einsum("qby,qyx->qbx", wy, corr, precision=precision,
                          preferred_element_type=jnp.float32)
-        out = jnp.einsum("qax,qbx->qab", wx, tmp.astype(level.dtype),
-                         precision=precision,
-                         preferred_element_type=jnp.float32)
+        if x_contraction == "vpu":
+            # The batched (9, wl) x (wl, 9) matmuls are MXU-dispatch-bound
+            # (90k batch elements); as 9 static multiply + lane-reduce
+            # passes the contraction runs entirely on the VPU.
+            t = tmp.astype(jnp.float32)
+            wxf = wx.astype(jnp.float32)
+            out = jnp.stack(
+                [(t * wxf[:, a : a + 1, :]).sum(axis=-1) for a in range(num)],
+                axis=1,
+            )
+        else:
+            out = jnp.einsum("qax,qbx->qab", wx, tmp.astype(level.dtype),
+                             precision=precision,
+                             preferred_element_type=jnp.float32)
         outs.append(out.reshape(b, h, w, num, num))
     return outs
 

@@ -384,3 +384,20 @@ def test_lookup_corr_split_packed_matches_flat(rng):
     )
     ref = np.asarray(ops.lookup_corr(pyr, jnp.asarray(coords), radius=4))
     np.testing.assert_allclose(flat, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_lookup_corr_split_vpu_matches_mxu(rng):
+    b, h, w, c = 2, 16, 16, 16
+    f1 = rng.standard_normal((b, h, w, c)).astype(np.float32)
+    f2 = rng.standard_normal((b, h, w, c)).astype(np.float32)
+    coords = (
+        np.asarray(ops.coords_grid(b, h, w))
+        + rng.uniform(-20, 20, size=(b, h, w, 2)).astype(np.float32)
+    )
+    pyr = ops.build_corr_pyramid(jnp.asarray(f1), jnp.asarray(f2), num_levels=4)
+    from accflow_tpu.ops.corr import lookup_corr_split
+
+    a = lookup_corr_split(pyr, jnp.asarray(coords), radius=4)
+    b_ = lookup_corr_split(pyr, jnp.asarray(coords), radius=4, x_contraction="vpu")
+    for la, lb in zip(a, b_):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb), rtol=1e-5, atol=1e-5)
