@@ -32,7 +32,9 @@ def main():
     from accflow_tpu.train.engine import TrainState, make_acc_train_step
     from accflow_tpu.train.optim import make_optimizer
 
-    est = build_flow_estimator("raft", compute_dtype="bfloat16")
+    est = build_flow_estimator(
+        os.environ.get("BENCH_OFE", "raft"), compute_dtype="bfloat16"
+    )
     acfg = AccFlowConfig(compute_dtype="bfloat16")
     ofe_params = est.init(jax.random.PRNGKey(0))
     acc_params = init_accflow(jax.random.PRNGKey(1), acfg)
@@ -66,7 +68,8 @@ def main():
     dt = max(t2 - t1, 1e-9) / k
 
     print(json.dumps({
-        "metric": f"acc_raft_train_step_b{BATCH}_{SIZE}",
+        "metric": "acc_%s_train_step_b%d_%d"
+        % (os.environ.get("BENCH_OFE", "raft"), BATCH, SIZE),
         "value": round(dt, 4),
         "unit": "s/step",
         "samples_per_sec": round(BATCH / dt, 2),
