@@ -25,6 +25,10 @@ def main(argv=None):
     parser.add_argument("--end", type=int, default=6)
     parser.add_argument("--iters", type=int, default=12)
     parser.add_argument("--compute-dtype", type=str, default="bfloat16")
+    parser.add_argument("--warm_start", action="store_true",
+                        help="warm-start consecutive pair solves from the "
+                        "previous advected flow (reference README TODO; "
+                        "see ops/warmstart.py + AccFlowConfig.warm_start)")
     parser.add_argument("--synthetic", action="store_true",
                         help="generate a tiny synthetic CVOR dataset at "
                         "--dataset-root first (dev/smoke mode)")
@@ -56,6 +60,7 @@ def main(argv=None):
         acc_ckpt=args.acc_ckpt,
         ofe_ckpt=args.ofe_ckpt,
         compute_dtype=args.compute_dtype,
+        warm_start=args.warm_start,
     )
 
 

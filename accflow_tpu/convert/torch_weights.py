@@ -48,7 +48,12 @@ def split_accflow_state(state_dict: Mapping[str, Any]):
 def _to_numpy(v) -> np.ndarray:
     if hasattr(v, "detach"):
         v = v.detach().cpu().numpy()
-    return np.asarray(v)
+    # Always copy: torch's .numpy() SHARES memory with the tensor, and
+    # jnp.asarray on the CPU backend can zero-copy aligned float buffers —
+    # without this, converted params would alias live torch storage and a
+    # later in-place torch op (e.g. a train-mode BN running-stat update)
+    # would silently corrupt them.
+    return np.array(v, copy=True)
 
 
 def _is_zero_conv(subtree: Mapping[str, Any]) -> bool:

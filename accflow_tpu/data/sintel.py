@@ -23,9 +23,14 @@ def _imread_rgb(path: str) -> np.ndarray:
 
 
 class HighSpeedSintel:
-    def __init__(self, data_dir: str, interv: int = 6, blacklist=()):
+    def __init__(
+        self, data_dir: str, interv: int = 6, blacklist=(), size=(1024, 436)
+    ):
+        """size: (W, H) the high-FPS frames are resized to — (1024, 436)
+        matches the reference (data/dataset.py:213); tests shrink it."""
         self.data_dir = data_dir
         self.interv = interv
+        self.size = tuple(size)
         self.samples: List[str] = [
             osp.join(data_dir, x)
             for x in sorted(os.listdir(data_dir))
@@ -51,7 +56,7 @@ class HighSpeedSintel:
         occ = cv2.imread(glob(osp.join(root, "*.png"))[0])[..., 0:1]
 
         imgs_hs = [
-            cv2.resize(_imread_rgb(hs[i]), (1024, 436))
+            cv2.resize(_imread_rgb(hs[i]), self.size)
             for i in range(0, len(hs), self.interv)
         ]
         return {
@@ -62,5 +67,7 @@ class HighSpeedSintel:
         }
 
 
-def fetch_sintel_dataset(data_root: str, interv: int = 6, blacklist=()):
-    return HighSpeedSintel(data_root, interv, blacklist)
+def fetch_sintel_dataset(
+    data_root: str, interv: int = 6, blacklist=(), size=(1024, 436)
+):
+    return HighSpeedSintel(data_root, interv, blacklist, size)

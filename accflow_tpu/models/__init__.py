@@ -43,9 +43,14 @@ class FlowEstimator:
         return self._init(key, self.cfg)
 
     def forward(self, params, image1, image2, iters: Optional[int] = None,
-                flow_init=None, final_only: bool = False):
+                flow_init=None, final_only: bool = False, train: bool = False):
+        """train=True = torch model.train() semantics: the context
+        encoder's BatchNorm normalizes with batch statistics and stashes
+        running-stat updates (harvest with nn.layers.collect_bn_updates
+        inside the same trace)."""
         return self._forward(
-            params, image1, image2, self.cfg, iters, flow_init, final_only
+            params, image1, image2, self.cfg, iters, flow_init, final_only,
+            train,
         )
 
     def pairs_fn(self, params, iters=None, final_only: bool = True):
@@ -63,11 +68,13 @@ class FlowEstimator:
         return fn
 
     def flow_fn(self, params):
-        """Closure (i1, i2) -> final full-res flow, for AccFlow's frozen OFE
-        (final_only: skips the 11 unused per-iteration upsamples)."""
-        def fn(image1, image2):
+        """Closure (i1, i2, flow_init=None) -> final full-res flow, for
+        AccFlow's frozen OFE (final_only: skips the 11 unused
+        per-iteration upsamples). flow_init: optional (N, H/8, W/8, 2)
+        warm start (AccFlowConfig.warm_start)."""
+        def fn(image1, image2, flow_init=None):
             return self._forward(
-                params, image1, image2, self.cfg, final_only=True
+                params, image1, image2, self.cfg, None, flow_init, True
             )["flow_up"]
         return fn
 

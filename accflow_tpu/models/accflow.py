@@ -68,6 +68,11 @@ class AccFlowConfig:
     # correlation volumes coexist (~89 MB x 11 x batch at 512^2) — use
     # fused_ofe=False for very large eval batches.
     fused_ofe: bool = True
+    # Warm-start each step's OFE queries from the previous step's advected
+    # flows (the reference README's TODO; see _accflow_forward_warmstart).
+    # Requires a flow_init-capable ofe (FlowEstimator.flow_fn) and forces
+    # the stepwise path (the queries become sequentially dependent).
+    warm_start: bool = False
 
 
 # ---------------------------------------------------------------------------
@@ -200,37 +205,19 @@ OfeFn = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
 # closed-over frozen flow estimator (RAFT or GMA forward returning flow_up).
 
 
-def _accflow_cell(
+def _cell_modules(
     params: Params,
-    ofe: OfeFn,
+    dflow: jnp.ndarray,
+    flow_ini: jnp.ndarray,
+    F2n: jnp.ndarray,
     I1: jnp.ndarray,
     I2: jnp.ndarray,
     In: jnp.ndarray,
-    F2n: Optional[jnp.ndarray],
     cfg: AccFlowConfig,
 ):
-    """One accumulation step (AccFlow_.py:177-201). F2n is the 1/8-res
-    accumulated flow I2 -> In, or None on the first step (it is then
-    estimated directly by the OFE alongside the other pairs)."""
+    """The trainable cell modules applied to precomputed 1/8-res OFE flows
+    (everything in AccFlow_.py:177-201 after the no_grad OFE queries)."""
     cd = jnp.dtype(cfg.compute_dtype)
-
-    if F2n is None:
-        flows = ofe(
-            jnp.concatenate([I1, I1, I2], axis=0),
-            jnp.concatenate([I2, In, In], axis=0),
-        )
-        flows = downflow8(flows)
-        dflow, flow_ini, F2n = jnp.split(flows, 3, axis=0)
-    else:
-        flows = ofe(
-            jnp.concatenate([I1, I1], axis=0),
-            jnp.concatenate([I2, In], axis=0),
-        )
-        flows = downflow8(flows)
-        dflow, flow_ini = jnp.split(flows, 2, axis=0)
-    dflow = lax.stop_gradient(dflow)
-    flow_ini = lax.stop_gradient(flow_ini)
-
     n = I1.shape[0]
     f_enc = flow_encoder(
         params["flow_encoder"],
@@ -257,6 +244,101 @@ def _accflow_cell(
 
     out_small, out = flow_decoder(params["flow_decoder"], f_fuse)
     return out_small.astype(jnp.float32), out.astype(jnp.float32)
+
+
+def _accflow_cell(
+    params: Params,
+    ofe: OfeFn,
+    I1: jnp.ndarray,
+    I2: jnp.ndarray,
+    In: jnp.ndarray,
+    F2n: Optional[jnp.ndarray],
+    cfg: AccFlowConfig,
+):
+    """One accumulation step (AccFlow_.py:177-201). F2n is the 1/8-res
+    accumulated flow I2 -> In, or None on the first step (it is then
+    estimated directly by the OFE alongside the other pairs)."""
+    if F2n is None:
+        flows = ofe(
+            jnp.concatenate([I1, I1, I2], axis=0),
+            jnp.concatenate([I2, In, In], axis=0),
+        )
+        flows = downflow8(flows)
+        dflow, flow_ini, F2n = jnp.split(flows, 3, axis=0)
+    else:
+        flows = ofe(
+            jnp.concatenate([I1, I1], axis=0),
+            jnp.concatenate([I2, In], axis=0),
+        )
+        flows = downflow8(flows)
+        dflow, flow_ini = jnp.split(flows, 2, axis=0)
+    dflow = lax.stop_gradient(dflow)
+    flow_ini = lax.stop_gradient(flow_ini)
+    return _cell_modules(params, dflow, flow_ini, F2n, I1, I2, In, cfg)
+
+
+def _accflow_forward_warmstart(
+    params: Params,
+    ofe: OfeFn,
+    images: jnp.ndarray,
+    cfg: AccFlowConfig,
+) -> jnp.ndarray:
+    """Stepwise accumulation with occlusion-aware WARM-STARTED OFE queries
+    — the reference README's own TODO (/root/reference/README.md:11),
+    built on upstream RAFT's forward-interpolate warm start
+    (networks/raft/utils/utils.py:31-63, here ops/warmstart.py on-device).
+
+    Between steps the query grid advances one frame (I1: frame i -> i+1),
+    so the previous step's 1/8-res flows are advected INTO the new frame's
+    grid by the negated backward pair flow (-dflow: constant-velocity
+    motion i -> i+1) and passed to the estimator as flow_init:
+
+        dflow_init    <- splat(dflow_prev,    -dflow_prev)
+        flow_ini_init <- splat(flow_ini_prev, -dflow_prev)
+
+    `ofe` must accept flow_init (FlowEstimator.flow_fn does). This changes
+    only the estimator's ITERATION START, not the protocol — with enough
+    iterations outputs match the cold-start path; with few iterations it
+    trades exactness for speed on video streams.
+    """
+    from accflow_tpu.ops.warmstart import forward_splat_flow
+
+    t = images.shape[0]
+    In = images[0]
+
+    # First step (i=2): cold start, OFE also estimates the seed F_{1,0}.
+    I1, I2 = images[2], images[1]
+    flows = ofe(
+        jnp.concatenate([I1, I1, I2], axis=0),
+        jnp.concatenate([I2, In, In], axis=0),
+    )
+    flows = lax.stop_gradient(downflow8(flows))
+    dflow, flow_ini, seed = jnp.split(flows, 3, axis=0)
+    carry, out0 = _cell_modules(params, dflow, flow_ini, seed, I1, I2, In, cfg)
+    outs = [out0]
+
+    for i in range(3, t):
+        I1, I2 = images[i], images[i - 1]
+        advect = -dflow
+        init = jnp.concatenate(
+            [
+                forward_splat_flow(dflow, advect),
+                forward_splat_flow(flow_ini, advect),
+            ],
+            axis=0,
+        )
+        flows = ofe(
+            jnp.concatenate([I1, I1], axis=0),
+            jnp.concatenate([I2, In], axis=0),
+            flow_init=init,
+        )
+        flows = lax.stop_gradient(downflow8(flows))
+        dflow, flow_ini = jnp.split(flows, 2, axis=0)
+        carry, out = _cell_modules(
+            params, dflow, flow_ini, lax.stop_gradient(carry), I1, I2, In, cfg
+        )
+        outs.append(out)
+    return jnp.stack(outs, axis=0)
 
 
 def _accflow_forward_fused(
@@ -367,6 +449,8 @@ def accflow_forward(
     if t < 3:
         raise ValueError("AccFlow needs at least 3 frames")
 
+    if cfg.warm_start:
+        return _accflow_forward_warmstart(params, ofe, images, cfg)
     if cfg.fused_ofe:
         return _accflow_forward_fused(params, ofe, images, cfg, ofe_pairs)
 

@@ -62,17 +62,20 @@ def init_residual_block(
     return p
 
 
-def residual_block(p: Params, x: jnp.ndarray, norm_fn: str, stride: int = 1) -> jnp.ndarray:
+def residual_block(
+    p: Params, x: jnp.ndarray, norm_fn: str, stride: int = 1, train: bool = False
+) -> jnp.ndarray:
     planes = p["conv1"]["w"].shape[-1]
     groups = _norm_groups(planes)
-    y = relu(apply_norm(norm_fn, p.get("norm1"), conv2d(p["conv1"], x, stride=stride), groups))
-    y = relu(apply_norm(norm_fn, p.get("norm2"), conv2d(p["conv2"], y), groups))
+    y = relu(apply_norm(norm_fn, p.get("norm1"), conv2d(p["conv1"], x, stride=stride), groups, train))
+    y = relu(apply_norm(norm_fn, p.get("norm2"), conv2d(p["conv2"], y), groups, train))
     if "downsample" in p:
         x = apply_norm(
             norm_fn,
             p["downsample"].get("1"),
             conv2d(p["downsample"]["0"], x, stride=stride, padding=0),
             groups,
+            train,
         )
     return relu(x + y)
 
@@ -106,18 +109,21 @@ def init_bottleneck_block(
     return p
 
 
-def bottleneck_block(p: Params, x: jnp.ndarray, norm_fn: str, stride: int = 1) -> jnp.ndarray:
+def bottleneck_block(
+    p: Params, x: jnp.ndarray, norm_fn: str, stride: int = 1, train: bool = False
+) -> jnp.ndarray:
     planes = p["conv3"]["w"].shape[-1]
     groups = _norm_groups(planes)
-    y = relu(apply_norm(norm_fn, p.get("norm1"), conv2d(p["conv1"], x, padding=0), groups))
-    y = relu(apply_norm(norm_fn, p.get("norm2"), conv2d(p["conv2"], y, stride=stride), groups))
-    y = relu(apply_norm(norm_fn, p.get("norm3"), conv2d(p["conv3"], y, padding=0), groups))
+    y = relu(apply_norm(norm_fn, p.get("norm1"), conv2d(p["conv1"], x, padding=0), groups, train))
+    y = relu(apply_norm(norm_fn, p.get("norm2"), conv2d(p["conv2"], y, stride=stride), groups, train))
+    y = relu(apply_norm(norm_fn, p.get("norm3"), conv2d(p["conv3"], y, padding=0), groups, train))
     if "downsample" in p:
         x = apply_norm(
             norm_fn,
             p["downsample"].get("1"),
             conv2d(p["downsample"]["0"], x, stride=stride, padding=0),
             groups,
+            train,
         )
     return relu(x + y)
 
@@ -148,14 +154,19 @@ def init_basic_encoder(
     return p
 
 
-def basic_encoder(p: Params, x: jnp.ndarray, norm_fn: str) -> jnp.ndarray:
-    """Stride-8 feature encoder. x: (N, H, W, C) -> (N, H/8, W/8, output_dim)."""
+def basic_encoder(
+    p: Params, x: jnp.ndarray, norm_fn: str, train: bool = False
+) -> jnp.ndarray:
+    """Stride-8 feature encoder. x: (N, H, W, C) -> (N, H/8, W/8, output_dim).
+
+    train=True switches BatchNorm layers to batch statistics and stashes
+    running-stat updates (see nn/layers.py::batch_norm)."""
     x = conv2d(p["conv1"], x, stride=2)
-    x = relu(apply_norm(norm_fn, p.get("norm1"), x, 8))
+    x = relu(apply_norm(norm_fn, p.get("norm1"), x, 8, train))
     for idx, stride in zip((1, 2, 3), (1, 2, 2)):
         stage = p[f"layer{idx}"]
-        x = residual_block(stage["0"], x, norm_fn, stride)
-        x = residual_block(stage["1"], x, norm_fn, 1)
+        x = residual_block(stage["0"], x, norm_fn, stride, train)
+        x = residual_block(stage["1"], x, norm_fn, 1, train)
     return conv2d(p["conv2"], x, padding=0)
 
 
@@ -185,11 +196,13 @@ def init_small_encoder(
     return p
 
 
-def small_encoder(p: Params, x: jnp.ndarray, norm_fn: str) -> jnp.ndarray:
+def small_encoder(
+    p: Params, x: jnp.ndarray, norm_fn: str, train: bool = False
+) -> jnp.ndarray:
     x = conv2d(p["conv1"], x, stride=2)
-    x = relu(apply_norm(norm_fn, p.get("norm1"), x, 8))
+    x = relu(apply_norm(norm_fn, p.get("norm1"), x, 8, train))
     for idx, stride in zip((1, 2, 3), (1, 2, 2)):
         stage = p[f"layer{idx}"]
-        x = bottleneck_block(stage["0"], x, norm_fn, stride)
-        x = bottleneck_block(stage["1"], x, norm_fn, 1)
+        x = bottleneck_block(stage["0"], x, norm_fn, stride, train)
+        x = bottleneck_block(stage["1"], x, norm_fn, 1, train)
     return conv2d(p["conv2"], x, padding=0)

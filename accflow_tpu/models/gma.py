@@ -232,6 +232,7 @@ def gma_forward(
     iters: Optional[int] = None,
     flow_init: Optional[jnp.ndarray] = None,
     final_only: bool = False,
+    train: bool = False,
 ):
     """Same contract as raft_forward (see models/raft.py)."""
     iters = cfg.iters if iters is None else iters
@@ -246,7 +247,7 @@ def gma_forward(
         precision=cfg.corr_precision, dtype=jnp.dtype(cfg.corr_volume_dtype),
     )
 
-    net, inp = gma_cnet(params, image1, cfg)
+    net, inp = gma_cnet(params, image1, cfg, train)
     attn = attention(params["att"], inp, cfg).astype(cd)
     return gma_iterate(
         params, pyramid, net, inp, attn, cfg, iters=iters,
@@ -254,9 +255,9 @@ def gma_forward(
     )
 
 
-def gma_cnet(params: Params, image1: jnp.ndarray, cfg: GMAConfig):
+def gma_cnet(params: Params, image1: jnp.ndarray, cfg: GMAConfig, train: bool = False):
     cd = jnp.dtype(cfg.compute_dtype)
-    cnet_out = basic_encoder(params["cnet"], image1.astype(cd), "batch")
+    cnet_out = basic_encoder(params["cnet"], image1.astype(cd), "batch", train)
     hdim = cfg.hidden_dim
     net = jnp.tanh(cnet_out[..., :hdim])
     inp = jax.nn.relu(cnet_out[..., hdim:])

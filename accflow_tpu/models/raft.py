@@ -342,22 +342,25 @@ def raft_fnet(params: Params, images: jnp.ndarray, cfg: RAFTConfig) -> jnp.ndarr
     return enc(params["fnet"], images.astype(cd), "instance")
 
 
-def raft_cnet(params: Params, image1: jnp.ndarray, cfg: RAFTConfig):
-    """Context encoder -> (net, inp) initial state."""
+def raft_cnet(params: Params, image1: jnp.ndarray, cfg: RAFTConfig, train: bool = False):
+    """Context encoder -> (net, inp) initial state. train=True uses
+    batch-stat BatchNorm and stashes running-stat updates (the reference
+    fine-tunes with model.train(): fine_tune.py:163)."""
     cd = jnp.dtype(cfg.compute_dtype)
     if cfg.small:
-        cnet_out = small_encoder(params["cnet"], image1.astype(cd), "none")
+        cnet_out = small_encoder(params["cnet"], image1.astype(cd), "none", train)
     else:
-        cnet_out = basic_encoder(params["cnet"], image1.astype(cd), "batch")
+        cnet_out = basic_encoder(params["cnet"], image1.astype(cd), "batch", train)
     hdim = cfg.hidden_dim
     net = jnp.tanh(cnet_out[..., :hdim])
     inp = jax.nn.relu(cnet_out[..., hdim:])
     return net, inp
 
 
-def raft_features(params: Params, image1, image2, cfg: RAFTConfig):
+def raft_features(params: Params, image1, image2, cfg: RAFTConfig, train: bool = False):
     """Encoders + correlation pyramid + initial state (everything outside
-    the iteration loop)."""
+    the iteration loop). `train` affects the cnet's BatchNorm only (the
+    fnet's instance norm is mode-independent)."""
     n = image1.shape[0]
     fmaps = raft_fnet(params, jnp.concatenate([image1, image2], axis=0), cfg)
     fmap1, fmap2 = fmaps[:n], fmaps[n:]
@@ -365,7 +368,7 @@ def raft_features(params: Params, image1, image2, cfg: RAFTConfig):
         fmap1.astype(jnp.float32), fmap2.astype(jnp.float32), cfg.corr_levels,
         precision=cfg.corr_precision, dtype=jnp.dtype(cfg.corr_volume_dtype),
     )
-    net, inp = raft_cnet(params, image1, cfg)
+    net, inp = raft_cnet(params, image1, cfg, train)
     return pyramid, net, inp
 
 
@@ -377,6 +380,7 @@ def raft_forward(
     iters: Optional[int] = None,
     flow_init: Optional[jnp.ndarray] = None,
     final_only: bool = False,
+    train: bool = False,
 ):
     """Estimate flow image1 -> image2.
 
@@ -395,7 +399,7 @@ def raft_forward(
       flow_low    — final 1/8-res flow (N, H/8, W/8, 2)
     """
     iters = cfg.iters if iters is None else iters
-    pyramid, net, inp = raft_features(params, image1, image2, cfg)
+    pyramid, net, inp = raft_features(params, image1, image2, cfg, train)
     return raft_iterate(
         params, pyramid, net, inp, cfg, iters=iters, flow_init=flow_init,
         final_only=final_only,

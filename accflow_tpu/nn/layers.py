@@ -133,13 +133,96 @@ def init_batch_norm(num_features: int) -> Params:
     }
 
 
-def batch_norm(p: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
-    """Frozen (eval-mode) batch norm using running statistics."""
+def batch_norm(
+    p: Params,
+    x: jnp.ndarray,
+    eps: float = 1e-5,
+    train: bool = False,
+    momentum: float = 0.1,
+) -> jnp.ndarray:
+    """BatchNorm2d (nn.BatchNorm2d semantics, NHWC).
+
+    train=False: frozen eval mode — normalize with the running statistics.
+
+    train=True: normalize with the current batch's (biased) statistics over
+    (N, H, W) and stash EMA-updated running stats (torch momentum=0.1
+    update; running var uses the UNBIASED batch variance) into the param
+    dict under "new_mean"/"new_var". A training step harvests these with
+    `collect_bn_updates(params)` INSIDE the same trace (e.g. as a loss-fn
+    aux output) and merges them back with `apply_bn_updates`. Under pjit
+    the mean/var reductions see the GLOBAL batch, so SPMD data-parallel
+    training computes the same statistics as a single device — GSPMD
+    inserts the cross-device reductions (reference:
+    /root/reference/fine_tune.py:163 trains with model.train() BN).
+    """
+    if train:
+        xf = x.astype(jnp.float32)
+        mean = xf.mean(axis=(0, 1, 2))
+        var = xf.var(axis=(0, 1, 2))
+        n = x.shape[0] * x.shape[1] * x.shape[2]
+        unbiased = var * (n / max(n - 1, 1))
+        p["new_mean"] = (1.0 - momentum) * p["mean"] + momentum * mean
+        p["new_var"] = (1.0 - momentum) * p["var"] + momentum * unbiased
+        scale_f = p["scale"] * lax.rsqrt(var + eps)
+        bias_f = p["bias"] - mean * scale_f
+        return (xf * scale_f + bias_f).astype(x.dtype)
     scale = (p["scale"] * lax.rsqrt(p["var"] + eps)).astype(x.dtype)
     bias = (p["bias"] - p["mean"] * p["scale"] * lax.rsqrt(p["var"] + eps)).astype(
         x.dtype
     )
     return x * scale + bias
+
+
+def _is_bn_params(d) -> bool:
+    return isinstance(d, dict) and "mean" in d and "var" in d and "scale" in d
+
+
+def collect_bn_updates(params: Params) -> dict:
+    """Pop the "new_mean"/"new_var" stashes left by train-mode batch_norm
+    out of a (traced) param tree. Returns a nested dict mirroring the
+    tree's structure with {"mean", "var"} leaves — suitable as a loss-fn
+    aux output. Must run inside the same trace as the forward."""
+    out = {}
+    for k, v in params.items():
+        if isinstance(v, dict):
+            if "new_mean" in v:
+                out[k] = {"mean": v.pop("new_mean"), "var": v.pop("new_var")}
+            else:
+                sub = collect_bn_updates(v)
+                if sub:
+                    out[k] = sub
+    return out
+
+
+def apply_bn_updates(params: Params, updates: dict) -> Params:
+    """Merge a collect_bn_updates tree back into a param tree (pure)."""
+    new = dict(params)
+    for k, v in updates.items():
+        if set(v.keys()) == {"mean", "var"} and not isinstance(v["mean"], dict):
+            new[k] = {**params[k], "mean": v["mean"], "var": v["var"]}
+        else:
+            new[k] = apply_bn_updates(params[k], v)
+    return new
+
+
+def bn_buffer_mask(params: Params, trainable: bool = True):
+    """Pytree of bools over `params`: True for trainable leaves, False for
+    BatchNorm running-stat buffers (mean/var). torch registers those as
+    buffers, NOT parameters (`nn.BatchNorm2d`), so the reference's
+    AdamW never touches them — pass this to optax.masked so weight decay
+    cannot shrink the running statistics."""
+    def rec(d):
+        out = {}
+        for k, v in d.items():
+            if isinstance(v, dict):
+                out[k] = rec(v)
+            elif _is_bn_params(d) and k in ("mean", "var"):
+                out[k] = not trainable
+            else:
+                out[k] = trainable
+        return out
+
+    return rec(params)
 
 
 def init_group_norm(num_features: int) -> Params:
@@ -159,11 +242,20 @@ def group_norm(p: Params, x: jnp.ndarray, num_groups: int, eps: float = 1e-5) ->
     return (xf * p["scale"] + p["bias"]).astype(x.dtype)
 
 
-def apply_norm(norm_fn: str, p: Optional[Params], x: jnp.ndarray, num_groups: int = 8):
+def apply_norm(
+    norm_fn: str,
+    p: Optional[Params],
+    x: jnp.ndarray,
+    num_groups: int = 8,
+    train: bool = False,
+):
+    """`train` only affects batch norm (instance/group norms behave
+    identically in torch train and eval modes; dropout is 0 in every
+    released config)."""
     if norm_fn == "instance":
         return instance_norm(x)
     if norm_fn == "batch":
-        return batch_norm(p, x)
+        return batch_norm(p, x, train=train)
     if norm_fn == "group":
         return group_norm(p, x, num_groups)
     if norm_fn == "none":

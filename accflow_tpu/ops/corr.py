@@ -129,7 +129,7 @@ def lookup_corr_gather(
 
     outs = []
     for i, level in enumerate(pyramid.levels):
-        _, _, hl, wl = level.shape
+        hl, wl = level.shape[-2:]
         pts = coords_flat / (2.0**i) + offsets[None]  # (Q, 81, 2)
         img = level.reshape(q, hl, wl, 1)
         sampled = bilinear_sample(img, pts)  # (Q, 81, 1)
@@ -174,7 +174,7 @@ def lookup_corr_split_packed(
     rows = []
     off = 0
     for lvl in small:
-        _, _, hl, wl = lvl.shape
+        hl, wl = lvl.shape[-2:]
         offs.append(off)
         rows.append(
             jnp.pad(lvl.reshape(q, hl, wl), ((0, 0), (0, 0), (0, wp - wl)))
@@ -188,7 +188,7 @@ def lookup_corr_split_packed(
     wys = []
     wxs = []
     for li, lvl in enumerate(small):
-        _, _, hl, wl = lvl.shape
+        hl, wl = lvl.shape[-2:]
         scale = 2.0 ** (li + 1)
         cy = cf[:, 1:2] / scale + delta[None] + float(offs[li])  # (Q, 9)
         wy = jnp.maximum(0.0, 1.0 - jnp.abs(ys[None, None, :] - cy[..., None]))
@@ -232,7 +232,7 @@ def lookup_corr_split(
 
     outs = []
     for i, level in enumerate(pyramid.levels):
-        _, _, hl, wl = level.shape
+        hl, wl = level.shape[-2:]
         cx = cf[:, 0:1] / (2.0**i) + delta[None]
         cy = cf[:, 1:2] / (2.0**i) + delta[None]
         wx = _window_weights(cx, wl).astype(level.dtype)
@@ -323,7 +323,7 @@ def lookup_corr_patch(
 
     outs = []
     for i, level in enumerate(pyramid.levels):
-        _, _, hl, wl = level.shape
+        hl, wl = level.shape[-2:]
         cx = cf[:, 0] / (2.0**i)
         cy = cf[:, 1] / (2.0**i)
         x0 = jnp.floor(cx)
@@ -364,6 +364,120 @@ def lookup_corr_patch(
     return jnp.concatenate(outs, axis=-1)
 
 
+def _level_window_rows(
+    corr3: jnp.ndarray,
+    cf: jnp.ndarray,
+    scale: float,
+    radius: int,
+    precision: str,
+    x_mode: str = "mxu",
+) -> jnp.ndarray:
+    """One level's (2r+1)^2 window via a row gather: (Q, num(a), num(b)).
+
+    All taps of a window share one fractional y offset, so the y tent
+    contraction == gathering 2r+2 rows of each query's own (hl, wl) map and
+    one 2-tap VPU lerp. The gather is a single `take_along_axis` along the
+    row axis — the one-row-per-index form that lowers to a fast strided
+    gather on TPU (same pattern as ops/sampling.py), NOT the
+    multi-dim-slice `lax.gather` that relayouts (see CLAUDE.md perf notes).
+    This reads ~(2r+2)/hl of the level per iteration instead of streaming
+    the whole volume through the tent matmul (level 0: 10/64 of 1.5 GB at
+    the AccFlow OFE shape).
+
+    x_mode: "mxu" finishes with the (9, wl) x (wl, 9) tent einsum;
+    "gather" gathers 2r+2 columns of the lerped rows and lerps again
+    (no MXU dispatch at all).
+    """
+    q, hl, wl = corr3.shape
+    num = 2 * radius + 1
+    side = num + 1
+    dy = jnp.arange(-radius, radius + 2, dtype=jnp.float32)
+
+    cx = cf[:, 0] / scale
+    cy = cf[:, 1] / scale
+    y0 = jnp.floor(cy)
+    fy = (cy - y0)[:, None, None]
+    py = y0[:, None] + dy[None]  # (Q, side)
+    yvalid = (py >= 0) & (py <= hl - 1)
+    iy = jnp.clip(py, 0, hl - 1).astype(jnp.int32)
+    rows = jnp.take_along_axis(corr3, iy[:, :, None], axis=1)  # (Q, side, wl)
+    rows = rows * yvalid[:, :, None].astype(rows.dtype)
+    rows = rows.astype(jnp.float32)
+    tmp = (1.0 - fy) * rows[:, :num] + fy * rows[:, 1:]  # (Q, num(b), wl)
+
+    if x_mode == "mxu":
+        delta = jnp.linspace(-radius, radius, num, dtype=jnp.float32)
+        wx = _window_weights(cx[:, None] + delta[None], wl)  # (Q, num(a), wl)
+        return jnp.einsum(
+            "qax,qbx->qab", wx.astype(corr3.dtype), tmp.astype(corr3.dtype),
+            precision=precision, preferred_element_type=jnp.float32,
+        )
+    # gather finish: 2r+2 columns, shared fractional x.
+    x0 = jnp.floor(cx)
+    fx = (cx - x0)[:, None, None]
+    px = x0[:, None] + dy[None]  # (Q, side)
+    xvalid = (px >= 0) & (px <= wl - 1)
+    ix = jnp.clip(px, 0, wl - 1).astype(jnp.int32)
+    cols = jnp.take_along_axis(tmp, ix[:, None, :], axis=2)  # (Q, num(b), side)
+    cols = cols * xvalid[:, None, :].astype(cols.dtype)
+    out_ba = (1.0 - fx) * cols[:, :, :num] + fx * cols[:, :, 1:]  # (Q, b, a)
+    return out_ba.transpose(0, 2, 1)
+
+
+def _level_window_mm(
+    corr3: jnp.ndarray,
+    cf: jnp.ndarray,
+    scale: float,
+    radius: int,
+    precision: str,
+) -> jnp.ndarray:
+    """One level's window via the two tent matmuls: (Q, num(a), num(b))."""
+    q, hl, wl = corr3.shape
+    num = 2 * radius + 1
+    delta = jnp.linspace(-radius, radius, num, dtype=jnp.float32)
+    cx = cf[:, 0:1] / scale + delta[None]
+    cy = cf[:, 1:2] / scale + delta[None]
+    wx = _window_weights(cx, wl).astype(corr3.dtype)
+    wy = _window_weights(cy, hl).astype(corr3.dtype)
+    tmp = jnp.einsum("qby,qyx->qbx", wy, corr3, precision=precision,
+                     preferred_element_type=jnp.float32)
+    return jnp.einsum("qax,qbx->qab", wx, tmp.astype(corr3.dtype),
+                      precision=precision,
+                      preferred_element_type=jnp.float32)
+
+
+def lookup_corr_split_v2(
+    pyramid: CorrPyramid,
+    coords: jnp.ndarray,
+    radius: int = 4,
+    precision: str = "highest",
+    level_impl: tuple = ("rows", "mm", "mm", "mm"),
+) -> list:
+    """Per-level-configurable split lookup (same consumer interface as
+    lookup_corr_split): level_impl[i] in {"mm", "rows", "rows_gx"} picks
+    the window formulation for pyramid level i. Returns one
+    (B, H, W, num, num) array per level, window indexed [a (x), b (y)]."""
+    b, h, w, _ = coords.shape
+    num = 2 * radius + 1
+    q = b * h * w
+    cf = coords.reshape(q, 2).astype(jnp.float32)
+    outs = []
+    for i, level in enumerate(pyramid.levels):
+        hl, wl = level.shape[-2:]
+        corr3 = level.reshape(q, hl, wl)
+        impl = level_impl[i] if i < len(level_impl) else level_impl[-1]
+        if impl == "mm":
+            out = _level_window_mm(corr3, cf, 2.0**i, radius, precision)
+        elif impl == "rows":
+            out = _level_window_rows(corr3, cf, 2.0**i, radius, precision, "mxu")
+        elif impl == "rows_gx":
+            out = _level_window_rows(corr3, cf, 2.0**i, radius, precision, "gather")
+        else:
+            raise ValueError(f"unknown level impl: {impl}")
+        outs.append(out.reshape(b, h, w, num, num))
+    return outs
+
+
 def lookup_corr_rows(
     pyramid: CorrPyramid,
     coords: jnp.ndarray,
@@ -389,7 +503,7 @@ def lookup_corr_rows(
 
     outs = []
     for i, level in enumerate(pyramid.levels):
-        _, _, hl, wl = level.shape
+        hl, wl = level.shape[-2:]
         cx = cf[:, 0:1] / (2.0**i) + delta[None]  # (Q, 9) tap x-centers
         cy = cf[:, 1] / (2.0**i)
         y0 = jnp.floor(cy)
@@ -437,7 +551,7 @@ def lookup_corr(
 
     outs = []
     for i, level in enumerate(pyramid.levels):
-        _, _, hl, wl = level.shape
+        hl, wl = level.shape[-2:]
         cx = cf[:, 0:1] / (2.0**i) + delta[None]  # (Q, 9) tap x-centers
         cy = cf[:, 1:2] / (2.0**i) + delta[None]  # (Q, 9) tap y-centers
         wx = _window_weights(cx, wl).astype(level.dtype)  # (Q, 9, wl)

@@ -129,7 +129,7 @@ def lookup_corr_pallas(
 
     outs = []
     for i, level in enumerate(pyramid.levels):
-        _, _, hl, wl = level.shape
+        hl, wl = level.shape[-2:]
         lvl = level.reshape(q, hl, wl)
         if stream_dtype is not None:
             lvl = lvl.astype(stream_dtype)  # hoisted out of scans by XLA

@@ -4,8 +4,10 @@
   (networks/raft/utils/utils.py:31-63) used by upstream RAFT to warm-start
   the next frame's flow; host-side numpy/scipy, kept for API parity.
 - forward_splat_flow: the TPU-native equivalent — on-device splatting of
-  the flow field by itself (see ops/softsplat.py), usable inside jit and
-  batched; this is what the engines use when warm-starting is enabled.
+  the flow field along an advection field (see ops/softsplat.py), usable
+  inside jit and batched. Consumers: models/accflow.py
+  (_accflow_forward_warmstart, AccFlowConfig.warm_start) and
+  train/evaluate.py (evaluate_sequence).
 """
 
 from __future__ import annotations
@@ -42,8 +44,13 @@ def forward_interpolate_flow(flow: np.ndarray) -> np.ndarray:
     return np.stack([flow_x, flow_y], axis=-1).astype(np.float32)
 
 
-def forward_splat_flow(flow: jnp.ndarray) -> jnp.ndarray:
-    """On-device warm start: splat flow forward along itself (average
-    mode), batched (B, H, W, 2) -> (B, H, W, 2). Holes become 0 — the same
-    prior the scipy version uses outside its hull."""
-    return softsplat(flow, flow, mode="average")
+def forward_splat_flow(
+    flow: jnp.ndarray, advect: jnp.ndarray | None = None
+) -> jnp.ndarray:
+    """On-device warm start: splat `flow` forward along `advect` (average
+    mode), batched (B, H, W, 2) -> (B, H, W, 2). advect=None splats the
+    flow along itself — upstream RAFT's constant-velocity warm start for
+    consecutive forward pairs; pass -dflow for backward pair flows (the
+    grid advances one frame, AccFlow convention). Holes become 0 — the
+    same prior the scipy version uses outside its hull."""
+    return softsplat(flow, flow if advect is None else advect, mode="average")

@@ -15,11 +15,54 @@ TPU-native path to frames too large for one chip's HBM.
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def maybe_init_distributed(logger=None) -> bool:
+    """Multi-host entry point (SURVEY.md §5.8): join a multi-process JAX
+    job over DCN when the launch environment says so; single-host no-op.
+
+    Triggers, checked in order:
+    - ACCFLOW_DISTRIBUTED=1|auto  -> jax.distributed.initialize() with
+      auto-detection (TPU pod metadata / cluster env);
+    - JAX_COORDINATOR_ADDRESS (+ JAX_NUM_PROCESSES, JAX_PROCESS_ID) ->
+      explicit initialize(...) for generic clusters.
+
+    Launch recipe (one process per host, same command on every host):
+
+        ACCFLOW_DISTRIBUTED=1 python -m accflow_tpu.cli.train_acc ...   # TPU pod
+        JAX_COORDINATOR_ADDRESS=host0:1234 JAX_NUM_PROCESSES=4 \
+        JAX_PROCESS_ID=$i python -m accflow_tpu.cli.train_acc ...       # generic
+
+    After this, jax.devices() spans all hosts and make_mesh() builds the
+    global mesh; the jitted SPMD step functions are unchanged (GSPMD
+    shards the same program over the bigger mesh). Call before any other
+    JAX API touches a backend.
+    """
+    called = False
+    flag = os.environ.get("ACCFLOW_DISTRIBUTED", "").lower()
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if flag in ("1", "true", "auto"):
+        jax.distributed.initialize()
+        called = True
+    elif addr:
+        jax.distributed.initialize(
+            coordinator_address=addr,
+            num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+            process_id=int(os.environ["JAX_PROCESS_ID"]),
+        )
+        called = True
+    if called and logger is not None:
+        logger.info(
+            "jax.distributed initialized: process %d/%d, %d global devices",
+            jax.process_index(), jax.process_count(), len(jax.devices()),
+        )
+    return called
 
 
 def make_mesh(

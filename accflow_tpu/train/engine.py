@@ -33,7 +33,12 @@ from accflow_tpu.data.cvo import BatchIterator, fetch_train_dataset, fetch_valid
 from accflow_tpu.data.prefetch import device_prefetch
 from accflow_tpu.models import build_flow_estimator
 from accflow_tpu.models.accflow import AccFlowConfig, accflow_forward, init_accflow
-from accflow_tpu.parallel.mesh import batch_sharding, make_mesh, shard_params
+from accflow_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    maybe_init_distributed,
+    shard_params,
+)
 from accflow_tpu.train.checkpoint import CheckpointManager
 from accflow_tpu.train.loss import sequence_loss_acc
 from accflow_tpu.train.optim import make_optimizer
@@ -158,6 +163,7 @@ def train_acc(opt, max_steps: int | None = None):
     """Train the AccFlow accumulator. `opt` mirrors configs/Acc*.yml plus
     `dataset_root` (CVOR data) and optional `ofe_params`/`flow_pretrained`.
     max_steps truncates for smoke tests. Returns the final TrainState."""
+    maybe_init_distributed()  # multi-host no-op unless env-triggered
     mesh = make_mesh()
     n_dev = mesh.devices.size
     batch = opt.batch_per_gpu * n_dev
@@ -283,7 +289,7 @@ def train_acc(opt, max_steps: int | None = None):
                     epes_n += n_valid
                     val_last[vid] = np.asarray(flow_last)
                 epe = epes_sum / max(epes_n, 1)
-                ckpt.save(current_step, state)
+                ckpt.save(current_step, state)  # `latest` (train_acc.py:268)
                 if epe <= best_val_epe:
                     best_val_epe, best_val_step = epe, current_step
                     for index in opt.get("visual_samples", []):
@@ -292,6 +298,9 @@ def train_acc(opt, max_steps: int | None = None):
                                 val_last[index],
                                 osp.join(log_dir, "val/im%03d/%06d.png" % (index, current_step)),
                             )
+                    # Numbered best-EPE save, pruned oldest-first
+                    # (train_acc.py:291-301).
+                    ckpt.save_best(current_step, state)
                 logger.info(
                     "Validation EPE: %.3f, best: %.3f (step %d)",
                     epe, best_val_epe, best_val_step,
@@ -301,7 +310,7 @@ def train_acc(opt, max_steps: int | None = None):
                 stop = True
                 break
 
-    ckpt.save(max(current_step, 1), state)
+    ckpt.save_final(max(current_step, 1), state)  # final.pth (train_acc.py:311)
     ckpt.close()
     logger.info("Finish training")
     return state

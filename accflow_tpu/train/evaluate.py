@@ -26,7 +26,7 @@ from accflow_tpu.data.prefetch import device_prefetch
 from accflow_tpu.models import build_flow_estimator
 from accflow_tpu.models.accflow import AccFlowConfig, accflow_forward, init_accflow
 from accflow_tpu.ops.occlusion import calc_occ_mask
-from accflow_tpu.train.engine import to_clip, to_flow_seq
+from accflow_tpu.train.engine import pad_batch, to_clip, to_flow_seq
 
 
 def cal_epe(pred, label, occ_mask):
@@ -58,10 +58,20 @@ def evaluate_cvo(
     compute_dtype: str = "bfloat16",
     result_file: Optional[str] = None,
     frames: int = 7,
+    warm_start: bool = False,
 ):
     """Run the CVO-{end} protocol. model_name: e.g. "direct|raft",
     "acc|gma" (test_cvo.py:118). Params may be passed directly (tests) or
-    converted from .pth checkpoints. Returns dict of mean EPEs."""
+    converted from .pth checkpoints. Returns dict of mean EPEs.
+
+    warm_start=True threads ops/warmstart.py inits across consecutive
+    pairs — the reference README's TODO (/root/reference/README.md:11):
+    acc mode warm-starts each accumulation step's OFE queries from the
+    previous step's advected flows (AccFlowConfig.warm_start); direct mode
+    estimates imgs[end] -> imgs[k] for k = end-1 .. 0, source-anchored, each
+    initialized from the previous interval's 1/8-res flow. Both only change
+    the estimator's iteration start, not the protocol.
+    """
     use_acc = "acc" in model_name.split("|")[0]
     est = build_flow_estimator(model_name, compute_dtype=compute_dtype)
 
@@ -83,7 +93,9 @@ def evaluate_cvo(
         acfg = AccFlowConfig(compute_dtype=compute_dtype)
         acc_params = init_accflow(jax.random.PRNGKey(1), acfg)
 
-    acfg = AccFlowConfig(compute_dtype=compute_dtype, ofe_iters=iters)
+    acfg = AccFlowConfig(
+        compute_dtype=compute_dtype, ofe_iters=iters, warm_start=warm_start
+    )
 
     @jax.jit
     def eval_batch(params_, acc_params_, imgs, bflows, fflows):
@@ -91,13 +103,27 @@ def evaluate_cvo(
         bseq = to_flow_seq(bflows)[: end - 1]
         fseq = to_flow_seq(fflows)[: end - 1]
         if use_acc:
-            ofe_fn = lambda a, b: est.forward(
-                params_, a, b, iters=iters, final_only=True
+            ofe_fn = lambda a, b, flow_init=None: est.forward(
+                params_, a, b, iters=iters, flow_init=flow_init,
+                final_only=True,
             )["flow_up"]
             fn0 = accflow_forward(
                 acc_params_, ofe_fn, images, acfg,
                 ofe_pairs=est.pairs_fn(params_, iters=iters),
             )[-1]
+        elif warm_start:
+            # Source-anchored warm start: grow the interval end -> k,
+            # initializing each solve from the previous interval's
+            # 1/8-res flow (the query grid never moves, so no splat).
+            out = est.forward(
+                params_, images[-1], images[-2], iters=iters, final_only=True
+            )
+            for k in range(end - 2, -1, -1):
+                out = est.forward(
+                    params_, images[-1], images[k], iters=iters,
+                    flow_init=out["flow_low"], final_only=True,
+                )
+            fn0 = out["flow_up"]
         else:
             fn0 = est.forward(
                 params_, images[-1], images[0], iters=iters, final_only=True
@@ -110,12 +136,15 @@ def evaluate_cvo(
 
     alls, occs, viss = [], [], []
     for b in device_prefetch(iter(it), depth=2):
+        # Pad the trailing partial batch (CVO-test: 536 % 10) so every
+        # batch hits the ONE compiled shape; aggregate true counts only.
+        b, n_valid = pad_batch(b, batch)
         epe_all, epe_occ, epe_vis = eval_batch(
             params, acc_params, b["imgs"], b["bflows"], b["fflows"]
         )
-        alls.append(np.asarray(epe_all))
-        occs.append(np.asarray(epe_occ))
-        viss.append(np.asarray(epe_vis))
+        alls.append(np.asarray(epe_all)[:n_valid])
+        occs.append(np.asarray(epe_occ)[:n_valid])
+        viss.append(np.asarray(epe_vis)[:n_valid])
 
     result = {
         "all": float(np.mean(np.concatenate(alls))),
@@ -130,4 +159,132 @@ def evaluate_cvo(
         result_file = f"test_result_{split}_E{end}.txt"
     with open(result_file, "a+") as f:
         f.write(line)
+    return result
+
+
+def evaluate_sequence(est, params, frames, iters: int = 12, warm_start: bool = True):
+    """Consecutive-pair flows over a frame stream with upstream RAFT's
+    warm start (reference networks/raft/utils/utils.py:31-63 semantics,
+    on-device splat — ops/warmstart.py).
+
+    frames: (T, N, H, W, 3) normalized to [-1, 1]. Returns
+    (T-1, N, H, W, 2) float32 flows [f_{0->1}, ..., f_{T-2 -> T-1}]; each
+    solve is initialized from the previous flow advected along itself
+    (constant velocity), which upstream RAFT uses for Sintel sequences.
+    """
+    from accflow_tpu.ops.warmstart import forward_splat_flow
+
+    t = frames.shape[0]
+    out = est.forward(params, frames[0], frames[1], iters=iters, final_only=True)
+    flows = [out["flow_up"]]
+    for i in range(1, t - 1):
+        init = forward_splat_flow(out["flow_low"]) if warm_start else None
+        out = est.forward(
+            params, frames[i], frames[i + 1], iters=iters,
+            flow_init=init, final_only=True,
+        )
+        flows.append(out["flow_up"])
+    return jnp.stack(flows, axis=0)
+
+
+def evaluate_sintel(
+    model_name: str,
+    data_root: str,
+    interv: int = 6,
+    iters: int = 12,
+    params=None,
+    acc_params=None,
+    ofe_ckpt: Optional[str] = None,
+    acc_ckpt: Optional[str] = None,
+    compute_dtype: str = "bfloat16",
+    blacklist=(),
+    result_file: Optional[str] = None,
+    size=(1024, 436),
+):
+    """High-Speed Sintel evaluation over data/sintel.py (the reference
+    ships the loader, data/dataset.py:164-236, but no engine — this is its
+    consumer). Per sample the `43_imgs` high-FPS sequence subsampled at
+    `interv` spans the original Sintel pair whose GT flow/occ mask are
+    given; the long-range flow img0 -> img1 is estimated as:
+
+    - "direct|...": one estimator call on the endpoint pair;
+    - "acc|...":    AccFlow accumulation over the REVERSED subsampled
+                    sequence (AccFlow accumulates frame i -> frame 0, so
+                    reversing makes the final output img0 -> img1).
+
+    Reports EPE all / occ / noc (Sintel convention) averaged over samples.
+    """
+    from accflow_tpu.data.sintel import fetch_sintel_dataset
+    from accflow_tpu.ops.padding import InputPadder
+
+    use_acc = "acc" in model_name.split("|")[0]
+    est = build_flow_estimator(model_name, compute_dtype=compute_dtype)
+    if params is None:
+        template = est.init(jax.random.PRNGKey(0))
+        if use_acc and acc_ckpt:
+            from accflow_tpu.convert.torch_weights import load_accflow_checkpoint
+
+            acfg = AccFlowConfig(compute_dtype=compute_dtype)
+            acc_template = init_accflow(jax.random.PRNGKey(1), acfg)
+            acc_params, params = load_accflow_checkpoint(acc_ckpt, acc_template, template)
+        elif ofe_ckpt:
+            from accflow_tpu.convert.torch_weights import load_flow_estimator_checkpoint
+
+            params = load_flow_estimator_checkpoint(ofe_ckpt, template)
+        else:
+            params = template
+    if use_acc and acc_params is None:
+        acc_params = init_accflow(
+            jax.random.PRNGKey(1), AccFlowConfig(compute_dtype=compute_dtype)
+        )
+    acfg = AccFlowConfig(compute_dtype=compute_dtype, ofe_iters=iters)
+
+    @jax.jit
+    def eval_direct(params_, i1, i2):
+        return est.forward(params_, i1, i2, iters=iters, final_only=True)["flow_up"]
+
+    @jax.jit
+    def eval_acc(params_, acc_params_, images):
+        ofe_fn = lambda a, b: est.forward(
+            params_, a, b, iters=iters, final_only=True
+        )["flow_up"]
+        return accflow_forward(
+            acc_params_, ofe_fn, images, acfg,
+            ofe_pairs=est.pairs_fn(params_, iters=iters),
+        )[-1]
+
+    dst = fetch_sintel_dataset(
+        data_root, interv=interv, blacklist=blacklist, size=size
+    )
+    alls, occs, nocs = [], [], []
+    for idx in range(len(dst)):
+        sample = dst.get(idx)
+        hs = np.stack(sample["hs_sintel_imgs"], axis=0)  # (T, H, W, 3)
+        frames = jnp.asarray(2.0 * (hs[:, None] / 255.0) - 1.0, jnp.float32)
+        padder = InputPadder(frames.shape[-3:-1], mode="sintel")
+        frames = jnp.stack([padder.pad(f)[0] for f in frames], axis=0)
+        if use_acc:
+            flow = eval_acc(params, acc_params, frames[::-1])
+        else:
+            flow = eval_direct(params, frames[0], frames[-1])
+        flow = np.asarray(padder.unpad(flow))[0]
+        gt = sample["gt_flow"]
+        occ = sample["occ_mask"][..., 0] > 0.5
+        epe = np.sqrt(((flow - gt) ** 2).sum(-1))
+        alls.append(float(epe.mean()))
+        occs.append(float(epe[occ].mean()) if occ.any() else 0.0)
+        nocs.append(float(epe[~occ].mean()) if (~occ).any() else 0.0)
+
+    result = {
+        "all": float(np.mean(alls)),
+        "occ": float(np.mean(occs)),
+        "noc": float(np.mean(nocs)),
+    }
+    line = "AVG EPE sintel %s interv=%d: \nall:%.4f noc:%.4f occ:%.4f \n\n" % (
+        model_name, interv, result["all"], result["noc"], result["occ"],
+    )
+    print(line.strip())
+    if result_file:
+        with open(result_file, "a+") as f:
+            f.write(line)
     return result

@@ -10,7 +10,8 @@ Recipe parity:
   here, SURVEY.md §3.4);
 - same noise aug / AdamW / OneCycle / clip as the accumulator recipe;
 - validation: direct imgs[-1] -> imgs[0] flow with 20 iters vs bflows[-1],
-  capped at valid_sample batches (fine_tune.py:262-279).
+  capped at valid_sample+1 SAMPLES (fine_tune.py:262-279 breaks at batch
+  index == valid_sample with batch size 1).
 
 The per-step task selection runs on host (a python RNG choosing which
 channel slices to feed); the jitted SPMD step always sees identical
@@ -31,7 +32,13 @@ import optax
 from accflow_tpu.data.cvo import BatchIterator, fetch_train_dataset, fetch_valid_dataset
 from accflow_tpu.data.prefetch import device_prefetch
 from accflow_tpu.models import build_flow_estimator
-from accflow_tpu.parallel.mesh import batch_sharding, make_mesh, shard_params
+from accflow_tpu.nn.layers import apply_bn_updates, bn_buffer_mask, collect_bn_updates
+from accflow_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    maybe_init_distributed,
+    shard_params,
+)
 from accflow_tpu.train.checkpoint import CheckpointManager
 from accflow_tpu.train.engine import TrainState, pad_batch, reference_noise
 from accflow_tpu.train.loss import sequence_loss_raft
@@ -73,14 +80,19 @@ def make_finetune_step(est, tx, add_noise: bool, gamma: float):
             i1, i2 = i1 + noise, i2 + noise
 
         def loss_fn(params):
-            out = est.forward(params, i1, i2, iters=12)
-            return sequence_loss_raft(out["predictions"], label, gamma)
+            # train=True: batch-stat BatchNorm, matching the reference's
+            # model.train() fine-tuning (fine_tune.py:163). The cnet's
+            # running-stat updates come out as a (non-differentiated) aux.
+            out = est.forward(params, i1, i2, iters=12, train=True)
+            loss, metrics = sequence_loss_raft(out["predictions"], label, gamma)
+            return loss, (metrics, collect_bn_updates(params))
 
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params
-        )
+        (loss, (metrics, bn_updates)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        params = apply_bn_updates(params, bn_updates)
         return TrainState(params, opt_state, state.step + 1), loss, metrics
 
     @jax.jit
@@ -96,9 +108,30 @@ def make_finetune_step(est, tx, add_noise: bool, gamma: float):
     return train_step, valid_step
 
 
+def run_validation(valid_step, state_params, valid_dst, batch, in_shard, valid_sample=500):
+    """One validation pass, capped by SAMPLES: the reference validates at
+    batch 1 and breaks AT id == valid_sample (fine_tune.py:262-279), i.e.
+    after valid_sample + 1 samples — the final batch's surplus is trimmed
+    so batching cannot inflate the pass. Returns (mean_epe, n_samples)."""
+    epes_sum, epes_n = 0.0, 0
+    cap = int(valid_sample) + 1
+    vit = BatchIterator(valid_dst, batch, shuffle=False, drop_last=False)
+    for vb in vit:
+        vb, n_valid = pad_batch(vb, batch)
+        vb = in_shard(vb)
+        per_sample, _ = valid_step(state_params, vb["imgs"], vb["bflows"])
+        n_use = min(n_valid, cap - epes_n)
+        epes_sum += float(np.asarray(per_sample)[:n_use].sum())
+        epes_n += n_use
+        if epes_n >= cap:
+            break
+    return epes_sum / max(epes_n, 1), epes_n
+
+
 def fine_tune(opt, max_steps: int | None = None):
     """Fine-tune RAFT/GMA on CVO. opt mirrors configs/{RAFT,GMA}.yml plus
     dataset_root. Returns the final TrainState."""
+    maybe_init_distributed()  # multi-host no-op unless env-triggered
     mesh = make_mesh()
     n_dev = mesh.devices.size
     batch = opt.batch_per_gpu * n_dev
@@ -145,7 +178,12 @@ def fine_tune(opt, max_steps: int | None = None):
     from accflow_tpu.utils.logging import count_parameters
 
     logger.info("Parameter Count: trainable: %d", count_parameters(params))
-    tx, schedule = make_optimizer(opt.lr, num_steps, opt.wdecay, opt.epsilon, opt.clip)
+    # BN running stats are torch BUFFERS, not parameters — keep AdamW's
+    # weight decay off them (they are updated by apply_bn_updates instead).
+    tx, schedule = make_optimizer(
+        opt.lr, num_steps, opt.wdecay, opt.epsilon, opt.clip,
+        buffer_mask=bn_buffer_mask(params),
+    )
     state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
     state = shard_params(mesh, state)
     in_shard = lambda b: {
@@ -198,20 +236,14 @@ def fine_tune(opt, max_steps: int | None = None):
                 losses, epes = [], []
 
             if current_step % opt.valid_freq == 0 or current_step == num_steps - 1:
-                epes_sum, epes_n = 0.0, 0
-                vit = BatchIterator(valid_dst, batch, shuffle=False, drop_last=False)
-                for vid, vb in enumerate(vit):
-                    vb, n_valid = pad_batch(vb, batch)
-                    vb = in_shard(vb)
-                    per_sample, _ = valid_step(state.params, vb["imgs"], vb["bflows"])
-                    epes_sum += float(np.asarray(per_sample)[:n_valid].sum())
-                    epes_n += n_valid
-                    if vid >= opt.get("valid_sample", 500):
-                        break
-                epe = epes_sum / max(epes_n, 1)
-                ckpt.save(current_step, state)
+                epe, _ = run_validation(
+                    valid_step, state.params, valid_dst, batch, in_shard,
+                    opt.get("valid_sample", 500),
+                )
+                ckpt.save(current_step, state)  # `latest` (fine_tune.py:285)
                 if epe <= best_val_epe:
                     best_val_epe, best_val_step = epe, current_step
+                    ckpt.save_best(current_step, state)
                 logger.info(
                     "Validation EPE: %.3f, best: %.3f (step %d)",
                     epe, best_val_epe, best_val_step,
@@ -221,7 +253,7 @@ def fine_tune(opt, max_steps: int | None = None):
                 stop = True
                 break
 
-    ckpt.save(max(current_step, 1), state)
+    ckpt.save_final(max(current_step, 1), state)
     ckpt.close()
     logger.info("Finish fine-tuning")
     return state

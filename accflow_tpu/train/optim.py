@@ -46,8 +46,15 @@ def make_optimizer(
     epsilon: float = 1e-8,
     clip: float = 1.0,
     pct_start: float = 0.05,
+    buffer_mask=None,
 ):
-    """AdamW + OneCycle + global-norm clip; returns (tx, schedule)."""
+    """AdamW + OneCycle + global-norm clip; returns (tx, schedule).
+
+    buffer_mask: optional pytree of bools over the params (True =
+    trainable). torch's AdamW only ever sees `model.parameters()`, so
+    BatchNorm running-stat BUFFERS are never decayed/updated by it; pass
+    nn.layers.bn_buffer_mask(params) to reproduce that (the masked leaves
+    get zero optimizer updates and keep no optimizer state)."""
     schedule = onecycle_linear(lr, num_steps + 100, pct_start)
     tx = optax.chain(
         optax.clip_by_global_norm(clip),
@@ -59,4 +66,6 @@ def make_optimizer(
             weight_decay=wdecay,
         ),
     )
+    if buffer_mask is not None:
+        tx = optax.masked(tx, buffer_mask)
     return tx, schedule

@@ -322,3 +322,40 @@ def test_raft_small_smoke():
     np.testing.assert_allclose(
         np.asarray(out_f["flow_up"]), np.asarray(out["flow_up"]), rtol=1e-5, atol=1e-5
     )
+
+
+def test_evaluate_cvo_loads_pth_checkpoints(tmp_path):
+    """End-to-end through evaluate_cvo's torch-checkpoint branches
+    (train/evaluate.py ofe_ckpt/acc_ckpt paths) with saved random-init
+    .pth files — the code path real released checkpoints take. batch=2
+    over 3 samples also exercises the padded final eval batch."""
+    import argparse
+
+    from networks.AccFlow_ import AccFlow
+    from networks.raft.raft import RAFT
+
+    from accflow_tpu.data.synthetic import write_synthetic_cvor
+    from accflow_tpu.train.evaluate import evaluate_cvo
+
+    torch.manual_seed(9)
+    ofe = RAFT(argparse.Namespace(small=False, mixed_precision=False)).eval()
+    torch.save(ofe.state_dict(), tmp_path / "raft.pth")
+    acc = AccFlow(ofe).eval()
+    torch.save(acc.state_dict(), tmp_path / "acc_raft.pth")
+
+    root = str(tmp_path / "cvor")
+    write_synthetic_cvor(root, num_train=2, num_test=3, h=64, w=64)
+
+    r1 = evaluate_cvo(
+        "direct|raft", root, batch=2, iters=2,
+        ofe_ckpt=str(tmp_path / "raft.pth"), compute_dtype="float32",
+        result_file=str(tmp_path / "res.txt"),
+    )
+    assert all(np.isfinite(v) for v in r1.values())
+
+    r2 = evaluate_cvo(
+        "acc|raft", root, batch=2, iters=2,
+        acc_ckpt=str(tmp_path / "acc_raft.pth"), compute_dtype="float32",
+        result_file=str(tmp_path / "res.txt"),
+    )
+    assert all(np.isfinite(v) for v in r2.values())

@@ -92,3 +92,37 @@ def test_spatial_sharded_raft_forward_matches(cpu_devices):
     out = fwd(ps, jax.device_put(i1, sh), jax.device_put(i2, sh))
     assert len(out.sharding.device_set) == 8
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-3, atol=1e-3)
+
+
+def test_maybe_init_distributed_noop_and_env(monkeypatch):
+    """Multi-host entry point (SURVEY.md §5.8): no-op on a plain single
+    host; env triggers call jax.distributed.initialize with the right
+    arguments (stubbed — real DCN needs a pod)."""
+    import accflow_tpu.parallel.mesh as M
+
+    monkeypatch.delenv("ACCFLOW_DISTRIBUTED", raising=False)
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    assert M.maybe_init_distributed() is False
+
+    calls = []
+
+    class FakeDistributed:
+        @staticmethod
+        def initialize(**kw):
+            calls.append(kw)
+
+    monkeypatch.setattr(M.jax, "distributed", FakeDistributed)
+    monkeypatch.setenv("ACCFLOW_DISTRIBUTED", "1")
+    assert M.maybe_init_distributed() is True
+    assert calls == [{}]
+
+    monkeypatch.setenv("ACCFLOW_DISTRIBUTED", "")
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "host0:1234")
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "4")
+    monkeypatch.setenv("JAX_PROCESS_ID", "2")
+    assert M.maybe_init_distributed() is True
+    assert calls[-1] == {
+        "coordinator_address": "host0:1234",
+        "num_processes": 4,
+        "process_id": 2,
+    }

@@ -212,3 +212,86 @@ def test_train_acc_resume_auto(tmp_path):
     # resuming from the numbered step also works
     state3 = train_acc(opts(resume=2), max_steps=3)
     assert int(state3.step) == 3
+
+
+def test_best_k_checkpoint_retention(tmp_path):
+    """Retention parity (train_acc.py:268,279-301,311): `latest` every
+    validation, numbered saves ONLY on new best EPE pruned oldest-first to
+    keep-1, and non-improving validations never evict the best model."""
+    import jax.numpy as jnp
+
+    from accflow_tpu.train.checkpoint import CheckpointManager
+
+    ckpt = CheckpointManager(str(tmp_path / "ckpt"), keep=4)
+    template = {"w": jnp.zeros((2,))}
+
+    def state(step):
+        return {"w": jnp.full((2,), float(step))}
+
+    # 6 validations, non-monotone EPE; bests at steps 100, 200, 400, 500.
+    epes = [5.0, 4.0, 4.5, 3.0, 2.5, 2.9]
+    best = float("inf")
+    for i, epe in enumerate(epes, start=1):
+        step = 100 * i
+        ckpt.save(step, state(step))
+        if epe <= best:
+            best = epe
+            ckpt.save_best(step, state(step))
+
+    # Oldest best (100) pruned; the best model (500) SURVIVES the
+    # non-improving validation at 600.
+    assert ckpt.best_steps() == [200, 400, 500]
+    assert ckpt.latest_step() == 600
+
+    restored = ckpt.restore(template, step=500)
+    assert float(restored["w"][0]) == 500.0
+    restored = ckpt.restore(template)  # auto -> latest
+    assert float(restored["w"][0]) == 600.0
+
+    ckpt.save_final(700, state(700))
+    assert float(ckpt.restore(template)["w"][0]) == 700.0
+    ckpt.close()
+
+
+def test_finetune_validation_caps_by_samples():
+    """The reference breaks validation AT batch-index == valid_sample with
+    batch size 1 (fine_tune.py:262-279, configs/RAFT.yml:24) = 501
+    samples; our batched pass must count SAMPLES, not batches, and trim
+    the final batch's surplus."""
+    import numpy as np
+
+    from accflow_tpu.train.finetune import run_validation
+
+    class FakeDataset:
+        def __init__(self, n):
+            self.n = n
+
+        def __len__(self):
+            return self.n
+
+        def get(self, i, rng=None):
+            return {
+                "imgs": np.full((4, 4, 3), i % 251, np.uint8),
+                "bflows": np.zeros((4, 4, 2), np.float32),
+            }
+
+    calls = []
+
+    def fake_valid_step(params, imgs, bflows):
+        calls.append(imgs.shape[0])
+        return np.full((imgs.shape[0],), 2.0, np.float32), None
+
+    epe, n = run_validation(
+        fake_valid_step, None, FakeDataset(1000), batch=12,
+        in_shard=lambda b: b, valid_sample=500,
+    )
+    assert n == 501  # reference: ids 0..500 inclusive at batch 1
+    assert len(calls) == int(np.ceil(501 / 12))  # 42 batches, not 501
+    assert abs(epe - 2.0) < 1e-6
+
+    # Small dataset: cap never reached, every sample counted once.
+    epe, n = run_validation(
+        fake_valid_step, None, FakeDataset(30), batch=12,
+        in_shard=lambda b: b, valid_sample=500,
+    )
+    assert n == 30
