@@ -35,6 +35,7 @@ from accflow_tpu.models.raft import (
     RAFTConfig,
     basic_motion_encoder,
     basic_motion_encoder_split,
+    basic_motion_encoder_stacked,
     flow_head,
     init_basic_motion_encoder,
     init_flow_head,
@@ -49,6 +50,7 @@ from accflow_tpu.ops.corr import (
     lookup,
     lookup_corr_split,
     lookup_corr_split_packed,
+    lookup_corr_split_v2,
 )
 from accflow_tpu.ops.grids import coords_grid
 from accflow_tpu.ops.upsample import convex_upsample
@@ -290,10 +292,27 @@ def gma_iterate(
         net, coords1 = carry
         coords1 = lax.stop_gradient(coords1)
         flow = coords1 - coords0
-        if cfg.corr_lookup in ("fused", "fusedv", "packed"):
+        if cfg.corr_lookup in (
+            "fused", "fusedv", "packed", "fused_vy", "fused_cat",
+            "fused_vy_cat", "fused_bd", "fused_bd2",
+        ):
             if cfg.corr_lookup == "packed":
                 corr_l = lookup_corr_split_packed(
                     pyramid, coords1, cfg.corr_radius, precision=cfg.corr_precision
+                )
+            elif cfg.corr_lookup in ("fused_bd", "fused_bd2"):
+                # Block-diagonal Pallas MXU y-contraction for the big
+                # levels (ops/corr_pallas.py::y_contract_bd).
+                nbd = 2 if cfg.corr_lookup == "fused_bd2" else 1
+                corr_l = lookup_corr_split_v2(
+                    pyramid, coords1, cfg.corr_radius,
+                    precision=cfg.corr_precision,
+                    level_impl=("bd",) * nbd + ("mm",) * (4 - nbd),
+                )
+            elif cfg.corr_lookup in ("fused_vy", "fused_vy_cat"):
+                corr_l = lookup_corr_split_v2(
+                    pyramid, coords1, cfg.corr_radius,
+                    precision=cfg.corr_precision, level_impl=("vpu_y",) * 4,
                 )
             else:
                 corr_l = lookup_corr_split(
@@ -301,7 +320,12 @@ def gma_iterate(
                     precision=cfg.corr_precision,
                     x_contraction="vpu" if cfg.corr_lookup == "fusedv" else "mxu",
                 )
-            motion = basic_motion_encoder_split(
+            enc = (
+                basic_motion_encoder_stacked
+                if cfg.corr_lookup in ("fused_cat", "fused_vy_cat")
+                else basic_motion_encoder_split
+            )
+            motion = enc(
                 ub["encoder"], flow.astype(cd), [c.astype(cd) for c in corr_l]
             )
         else:

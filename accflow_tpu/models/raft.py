@@ -41,6 +41,7 @@ from accflow_tpu.ops.corr import (
     lookup,
     lookup_corr_split,
     lookup_corr_split_packed,
+    lookup_corr_split_v2,
 )
 from accflow_tpu.ops.grids import coords_grid, upflow8
 from accflow_tpu.ops.upsample import convex_upsample
@@ -233,6 +234,36 @@ def basic_motion_encoder_split(
                 precision=prec, preferred_element_type=cd,
             )
             li += ln
+    cor = relu(cor)
+    cor = relu(conv2d(p["convc2"], cor))
+    flo = relu(conv2d(p["convf1"], flow))
+    flo = relu(conv2d(p["convf2"], flo))
+    out = relu(conv2d(p["conv"], jnp.concatenate([cor, flo], axis=-1)))
+    return jnp.concatenate([out, flow], axis=-1)
+
+
+def basic_motion_encoder_stacked(
+    p: Params, flow: jnp.ndarray, corr_levels: list
+) -> jnp.ndarray:
+    """basic_motion_encoder_split with convc1 as ONE dense
+    (Q, L*81) x (L*81, 256) GEMM over the stacked level windows.
+
+    The per-level "nhwab,abo->nhwo" einsums traced at 6.2 TF/s (r2): their
+    K=81 contraction pads to 128 lanes and each level pays its own
+    dispatch. Stacking the four (N, H, W, 9, 9) windows into (N, H, W,
+    324) makes convc1 a single well-shaped GEMM. The stack order (level,
+    a, b) is exactly the reference's corr channel layout, so the weight
+    reshape is free."""
+    num = corr_levels[0].shape[-1]
+    cat = jnp.stack(corr_levels, axis=3)  # (N, H, W, L, 9, 9)
+    n, h, w, nlev = cat.shape[:4]
+    x = cat.reshape(n, h, w, nlev * num * num)
+    cd = x.dtype
+    prec = "highest" if cd == jnp.float32 else "default"
+    wc = p["convc1"]["w"].reshape(nlev * num * num, -1).astype(cd)
+    cor = jnp.einsum(
+        "nhwk,ko->nhwo", x, wc, precision=prec, preferred_element_type=cd
+    ) + p["convc1"]["b"].astype(cd)
     cor = relu(cor)
     cor = relu(conv2d(p["convc2"], cor))
     flo = relu(conv2d(p["convf1"], flow))
@@ -446,10 +477,30 @@ def raft_iterate(
                 with_mask=not final_only,
             )
         else:
-            if cfg.corr_lookup in ("fused", "fusedv", "packed"):
+            if cfg.corr_lookup in (
+                "fused", "fusedv", "packed", "fused_vy", "fused_cat",
+                "fused_vy_cat", "fused_bd", "fused_bd2",
+            ):
                 if cfg.corr_lookup == "packed":
                     corr_l = lookup_corr_split_packed(
                         pyramid, coords1, cfg.radius, precision=cfg.corr_precision
+                    )
+                elif cfg.corr_lookup in ("fused_bd", "fused_bd2"):
+                    # Block-diagonal Pallas MXU y-contraction for the big
+                    # levels (ops/corr_pallas.py::y_contract_bd).
+                    nbd = 2 if cfg.corr_lookup == "fused_bd2" else 1
+                    corr_l = lookup_corr_split_v2(
+                        pyramid, coords1, cfg.radius,
+                        precision=cfg.corr_precision,
+                        level_impl=("bd",) * nbd + ("mm",) * (4 - nbd),
+                    )
+                elif cfg.corr_lookup in ("fused_vy", "fused_vy_cat"):
+                    # VPU y-contraction: streams the volume without the
+                    # batched-tiny-matmul dispatch stalls (see ops/corr.py).
+                    corr_l = lookup_corr_split_v2(
+                        pyramid, coords1, cfg.radius,
+                        precision=cfg.corr_precision,
+                        level_impl=("vpu_y",) * 4,
                     )
                 else:
                     corr_l = lookup_corr_split(
@@ -457,9 +508,16 @@ def raft_iterate(
                         precision=cfg.corr_precision,
                         x_contraction="vpu" if cfg.corr_lookup == "fusedv" else "mxu",
                     )
-                motion = basic_motion_encoder_split(
-                    ub["encoder"], flow.astype(cd), [c.astype(cd) for c in corr_l]
-                )
+                if cfg.corr_lookup in ("fused_cat", "fused_vy_cat"):
+                    motion = basic_motion_encoder_stacked(
+                        ub["encoder"], flow.astype(cd),
+                        [c.astype(cd) for c in corr_l],
+                    )
+                else:
+                    motion = basic_motion_encoder_split(
+                        ub["encoder"], flow.astype(cd),
+                        [c.astype(cd) for c in corr_l],
+                    )
             else:
                 corr = lookup(
                     pyramid, coords1, cfg.radius,

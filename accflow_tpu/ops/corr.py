@@ -32,7 +32,13 @@ from accflow_tpu.ops.sampling import bilinear_sample
 
 
 class CorrPyramid(NamedTuple):
-    """Per-level correlation maps, each (B, H1*W1, Hl, Wl) float32."""
+    """Per-level correlation maps, each (B*H1*W1, Hl, Wl).
+
+    Stored flat over queries: every lookup consumes (Q, Hl, Wl) and a
+    4D (B, H1*W1, Hl, Wl) layout forced a whole-volume relayout copy per
+    GRU iteration inside the scan (traced at 13 ms/step on the CVO-6
+    serving shape). Lookup functions reshape defensively, so 4D pyramids
+    (e.g. hand-built in tests) still work."""
 
     levels: tuple[jnp.ndarray, ...]
     h1: int
@@ -92,7 +98,7 @@ def build_corr_pyramid(
             "bqc,bkc->bqk", f1, f2l.reshape(b, hl * wl, c), precision=precision
         )
         corr = corr * inv_sqrt_c
-        levels.append(corr.reshape(b, h * w, hl, wl).astype(dtype))
+        levels.append(corr.reshape(b * h * w, hl, wl).astype(dtype))
         f2l = avg_pool2_nhwc(f2l)
     return CorrPyramid(levels=tuple(levels), h1=h, w1=w)
 
@@ -169,7 +175,7 @@ def lookup_corr_split_packed(
 
     small = pyramid.levels[1:]
     nl = len(small)
-    wp = small[0].shape[3]  # pack width = level 1's wl
+    wp = small[0].shape[-1]  # pack width = level 1's wl
     offs = []
     rows = []
     off = 0
@@ -446,6 +452,68 @@ def _level_window_mm(
                       preferred_element_type=jnp.float32)
 
 
+def _level_window_vpu_y(
+    corr3: jnp.ndarray,
+    cf: jnp.ndarray,
+    scale: float,
+    radius: int,
+    precision: str,
+) -> jnp.ndarray:
+    """One level's window with the Y tent contraction on the VPU:
+    tmp[q,b,x] = sum_y wy[q,b,y] corr[q,y,x] as a fused broadcast-multiply
+    + SUBLANE-axis reduce (streams the volume once without the batched
+    tiny-matmul MXU dispatch stalls that cap the mm form at ~180 GB/s —
+    traced r2), then the small X tent contraction on the MXU."""
+    q, hl, wl = corr3.shape
+    num = 2 * radius + 1
+    delta = jnp.linspace(-radius, radius, num, dtype=jnp.float32)
+    cx = cf[:, 0:1] / scale + delta[None]
+    cy = cf[:, 1:2] / scale + delta[None]
+    wy = _window_weights(cy, hl).astype(corr3.dtype)  # (Q, 9, hl)
+    # (Q, 9, hl, 1) * (Q, 1, hl, wl) -> reduce hl (second-minor axis):
+    # XLA fuses this into one pass over the volume.
+    tmp = jnp.sum(
+        wy[:, :, :, None].astype(jnp.float32)
+        * corr3[:, None, :, :].astype(jnp.float32),
+        axis=2,
+    )  # (Q, 9(b), wl) f32
+    wx = _window_weights(cx, wl).astype(corr3.dtype)
+    return jnp.einsum(
+        "qax,qbx->qab", wx, tmp.astype(corr3.dtype),
+        precision=precision, preferred_element_type=jnp.float32,
+    )
+
+
+def _level_window_bd(
+    corr3: jnp.ndarray,
+    cf: jnp.ndarray,
+    scale: float,
+    radius: int,
+    precision: str,
+) -> jnp.ndarray:
+    """One level's window with the y tent contraction on the MXU via the
+    block-diagonal Pallas kernel (ops/corr_pallas.py::y_contract_bd) and
+    the small x tent contraction as the usual einsum. The volume is
+    streamed bf16 on single-pass paths (the value set is bf16 anyway for
+    bf16-encoded features; the cast is loop-invariant and hoisted out of
+    the GRU scan by XLA)."""
+    from accflow_tpu.ops.corr_pallas import y_contract_bd
+
+    q, hl, wl = corr3.shape
+    num = 2 * radius + 1
+    delta = jnp.linspace(-radius, radius, num, dtype=jnp.float32)
+    cx = cf[:, 0:1] / scale + delta[None]
+    cy = cf[:, 1:2] / scale + delta[None]
+    kd = jnp.float32 if precision == "highest" else jnp.bfloat16
+    wy = _window_weights(cy, hl).astype(kd)
+    tmp = y_contract_bd(corr3.astype(kd), wy)  # (Q, num, wl) f32
+    wx = _window_weights(cx, wl).astype(corr3.dtype)
+    return jnp.einsum(
+        "qax,qbx->qab", wx, tmp.astype(corr3.dtype),
+        precision=precision, preferred_element_type=jnp.float32,
+    )
+
+
 def lookup_corr_split_v2(
     pyramid: CorrPyramid,
     coords: jnp.ndarray,
@@ -454,9 +522,10 @@ def lookup_corr_split_v2(
     level_impl: tuple = ("rows", "mm", "mm", "mm"),
 ) -> list:
     """Per-level-configurable split lookup (same consumer interface as
-    lookup_corr_split): level_impl[i] in {"mm", "rows", "rows_gx"} picks
-    the window formulation for pyramid level i. Returns one
-    (B, H, W, num, num) array per level, window indexed [a (x), b (y)]."""
+    lookup_corr_split): level_impl[i] in {"mm", "rows", "rows_gx",
+    "vpu_y", "bd"} picks the window formulation for pyramid level i.
+    Returns one (B, H, W, num, num) array per level, window indexed
+    [a (x), b (y)]."""
     b, h, w, _ = coords.shape
     num = 2 * radius + 1
     q = b * h * w
@@ -468,6 +537,10 @@ def lookup_corr_split_v2(
         impl = level_impl[i] if i < len(level_impl) else level_impl[-1]
         if impl == "mm":
             out = _level_window_mm(corr3, cf, 2.0**i, radius, precision)
+        elif impl == "bd":
+            out = _level_window_bd(corr3, cf, 2.0**i, radius, precision)
+        elif impl == "vpu_y":
+            out = _level_window_vpu_y(corr3, cf, 2.0**i, radius, precision)
         elif impl == "rows":
             out = _level_window_rows(corr3, cf, 2.0**i, radius, precision, "mxu")
         elif impl == "rows_gx":

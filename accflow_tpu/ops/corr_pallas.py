@@ -34,6 +34,63 @@ from jax.experimental.pallas import tpu as pltpu
 from accflow_tpu.ops.corr import CorrPyramid
 
 
+def y_contract_bd(
+    corr3: jnp.ndarray,
+    wy: jnp.ndarray,
+    tq: int = 128,
+    g: int = 8,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Block-diagonal MXU y-contraction: tmp[q,b,x] = sum_y wy[q,b,y] *
+    corr3[q,y,x], with G queries packed into one (G*9, G*hl) x (G*hl, wl)
+    dot so the MXU sees real tile sizes.
+
+    Why: XLA lowers the batched (9,hl)x(hl,wl) tent dots as VPU loop
+    fusions whose ~9.4 flop/byte intensity pins them to the VPU roofline
+    knee (traced r2: 182 GB/s / 2.0 TF/s — 22% of both peaks). The MXU
+    has ~25x the flops; wasting (G-1)/G of them on the off-diagonal zeros
+    still wins because the stream becomes the only cost. The block
+    diagonal is built by G static sub-tile writes into a zeroed VMEM
+    scratch (zeroed ONCE per program — only diagonal blocks are ever
+    overwritten), the kind of static addressing Mosaic lowers cleanly
+    (scripts/probe_pallas_bd.py).
+
+    corr3: (Q, hl, wl); wy: (Q, num, hl), both any float dtype (bf16
+    recommended: the dot is single-pass anyway); returns (Q, num, wl) f32.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    q, hl, wl = corr3.shape
+    num = wy.shape[1]
+    while q % tq:
+        tq //= 2
+    g = min(g, tq)
+
+    def kernel(wy_ref, corr_ref, out_ref, lhs_ref):
+        lhs_ref[...] = jnp.zeros_like(lhs_ref)
+        for g0 in range(tq // g):
+            for i in range(g):
+                lhs_ref[i * num : (i + 1) * num, i * hl : (i + 1) * hl] = (
+                    wy_ref[g0 * g + i]
+                )
+            rhs = corr_ref[g0 * g : (g0 + 1) * g].reshape(g * hl, wl)
+            out = jnp.dot(lhs_ref[...], rhs, preferred_element_type=jnp.float32)
+            out_ref[g0 * g : (g0 + 1) * g] = out.reshape(g, num, wl)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(q // tq,),
+        in_specs=[
+            pl.BlockSpec((tq, num, hl), lambda i: (i, 0, 0)),
+            pl.BlockSpec((tq, hl, wl), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((tq, num, wl), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((q, num, wl), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((g * num, g * hl), corr3.dtype)],
+        interpret=interpret,
+    )(wy, corr3)
+
+
 def _level_kernel(
     coords_ref, corr_ref, out_ref, *, radius: int, hl: int, wl: int
 ):

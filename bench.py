@@ -56,7 +56,7 @@ def run_one(BATCH: int) -> None:
         os.environ.get("BENCH_OFE", "raft"),
         compute_dtype="bfloat16",
         corr_volume_dtype=os.environ.get("BENCH_VOL_DTYPE", "float32"),
-        corr_lookup=os.environ.get("BENCH_LOOKUP", "mm"),
+        corr_lookup=os.environ.get("BENCH_LOOKUP", "fused"),
     )
     acfg = AccFlowConfig(compute_dtype="bfloat16")
     ofe_params = est.init(jax.random.PRNGKey(0))

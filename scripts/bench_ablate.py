@@ -76,6 +76,13 @@ def main():
     import os as _os
     variants = [
         ("base_12it_f32vol", dict()),
+        ("fused_bd", dict(corr_lookup="fused_bd")),
+        ("fused_bd2", dict(corr_lookup="fused_bd2")),
+        ("fused_vy", dict(corr_lookup="fused_vy")),
+        ("fused_cat", dict(corr_lookup="fused_cat")),
+        ("fused_vy_cat", dict(corr_lookup="fused_vy_cat")),
+        ("vy_cat_bf16vol", dict(corr_lookup="fused_vy_cat",
+                                corr_volume_dtype="bfloat16")),
         ("lookup_pallas", dict(corr_lookup="pallas")),
         ("iters3", dict(iters=3)),
         ("iters3_pallas", dict(iters=3, corr_lookup="pallas")),

@@ -72,7 +72,7 @@ def main():
     h1, w1 = pyramid.h1, pyramid.w1
     for li in range(4):
         c_scaled = coords / (2.0**li)  # single-level pyramid sees level 0
-        for impl in ("mm", "rows", "rows_gx"):
+        for impl in ("mm", "vpu_y", "rows", "rows_gx"):
             bench(
                 f"L{li} {impl}",
                 lambda c, lv, im=impl: lookup_corr_split_v2(
@@ -85,10 +85,9 @@ def main():
     # --- full 4-level configs ---
     configs = {
         "all-mm (current default)": ("mm",) * 4,
+        "all-vpu_y": ("vpu_y",) * 4,
+        "vy,vy,mm,mm": ("vpu_y", "vpu_y", "mm", "mm"),
         "all-rows": ("rows",) * 4,
-        "all-rows_gx": ("rows_gx",) * 4,
-        "rows,mm,mm,mm": ("rows", "mm", "mm", "mm"),
-        "rows,rows,mm,mm": ("rows", "rows", "mm", "mm"),
     }
     for name, li in configs.items():
         bench(

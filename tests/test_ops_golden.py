@@ -401,3 +401,58 @@ def test_lookup_corr_split_vpu_matches_mxu(rng):
     b_ = lookup_corr_split(pyr, jnp.asarray(coords), radius=4, x_contraction="vpu")
     for la, lb in zip(a, b_):
         np.testing.assert_allclose(np.asarray(la), np.asarray(lb), rtol=1e-5, atol=1e-5)
+
+
+def test_lookup_corr_split_v2_variants_match(rng):
+    """Every per-level window formulation of lookup_corr_split_v2 (mm,
+    vpu_y, rows, rows_gx) is numerically equivalent to lookup_corr_split."""
+    b, h, w, c = 2, 16, 16, 16
+    f1 = rng.standard_normal((b, h, w, c)).astype(np.float32)
+    f2 = rng.standard_normal((b, h, w, c)).astype(np.float32)
+    coords = (
+        np.asarray(ops.coords_grid(b, h, w))
+        + rng.uniform(-20, 20, size=(b, h, w, 2)).astype(np.float32)
+    )
+    pyr = ops.build_corr_pyramid(jnp.asarray(f1), jnp.asarray(f2), num_levels=4)
+    from accflow_tpu.ops.corr import lookup_corr_split, lookup_corr_split_v2
+
+    ref = lookup_corr_split(pyr, jnp.asarray(coords), radius=4)
+    for impl in ("mm", "vpu_y", "rows", "rows_gx"):
+        got = lookup_corr_split_v2(
+            pyr, jnp.asarray(coords), radius=4, level_impl=(impl,) * 4
+        )
+        for la, lb in zip(ref, got):
+            np.testing.assert_allclose(
+                np.asarray(lb), np.asarray(la), rtol=1e-4, atol=1e-4,
+                err_msg=impl,
+            )
+
+
+def test_motion_encoder_stacked_matches_split(rng):
+    """convc1 as one stacked (Q, L*81) GEMM == per-level einsums == the
+    flat conv (basic_motion_encoder)."""
+    from accflow_tpu.models.raft import (
+        RAFTConfig,
+        basic_motion_encoder,
+        basic_motion_encoder_split,
+        basic_motion_encoder_stacked,
+        init_basic_motion_encoder,
+    )
+
+    import jax
+
+    cfg = RAFTConfig(compute_dtype="float32")
+    p = init_basic_motion_encoder(jax.random.PRNGKey(0), cfg.corr_planes)
+    n, h, w = 2, 8, 8
+    flow = jnp.asarray(rng.standard_normal((n, h, w, 2)).astype(np.float32))
+    levels = [
+        jnp.asarray(rng.standard_normal((n, h, w, 9, 9)).astype(np.float32))
+        for _ in range(4)
+    ]
+    flat = jnp.concatenate([l.reshape(n, h, w, 81) for l in levels], axis=-1)
+
+    ref = np.asarray(basic_motion_encoder(p, flow, flat))
+    split = np.asarray(basic_motion_encoder_split(p, flow, levels))
+    stacked = np.asarray(basic_motion_encoder_stacked(p, flow, levels))
+    np.testing.assert_allclose(split, ref, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(stacked, ref, rtol=1e-4, atol=1e-4)
