@@ -288,28 +288,53 @@ def gma_iterate(
     ub = params["update_block"]
     gru_step = make_fused_sep_gru(ub["gru"], inp, cfg.hidden_dim)
 
+    pf_ops = pf_plan = None
+    lookup_impl = cfg.corr_lookup
+    if lookup_impl == "pallas_fused":
+        # Fused Pallas lookup — pyramid repacked once outside the scan
+        # (see models/raft.py::raft_iterate for the rationale).
+        from accflow_tpu.ops.corr_pallas import (
+            fused_lookup_supported,
+            lookup_corr_fused,
+            prepare_fused_lookup_operands,
+        )
+
+        if jax.default_backend() == "tpu" and not fused_lookup_supported(
+            pyramid, cfg.corr_radius
+        ):
+            lookup_impl = "fused"  # tiny levels: Mosaic shape-cast limits
+        else:
+            pf_ops, pf_plan = prepare_fused_lookup_operands(
+                pyramid, cfg.corr_radius, stream_dtype=cd
+            )
+
     def step(carry, _):
         net, coords1 = carry
         coords1 = lax.stop_gradient(coords1)
         flow = coords1 - coords0
-        if cfg.corr_lookup in (
+        if lookup_impl == "pallas_fused":
+            corr = lookup_corr_fused(pf_ops, pf_plan, coords1, cfg.corr_radius)
+            motion = basic_motion_encoder(
+                ub["encoder"], flow.astype(cd), corr.astype(cd)
+            )
+        elif lookup_impl in (
             "fused", "fusedv", "packed", "fused_vy", "fused_cat",
             "fused_vy_cat", "fused_bd", "fused_bd2",
         ):
-            if cfg.corr_lookup == "packed":
+            if lookup_impl == "packed":
                 corr_l = lookup_corr_split_packed(
                     pyramid, coords1, cfg.corr_radius, precision=cfg.corr_precision
                 )
-            elif cfg.corr_lookup in ("fused_bd", "fused_bd2"):
+            elif lookup_impl in ("fused_bd", "fused_bd2"):
                 # Block-diagonal Pallas MXU y-contraction for the big
                 # levels (ops/corr_pallas.py::y_contract_bd).
-                nbd = 2 if cfg.corr_lookup == "fused_bd2" else 1
+                nbd = 2 if lookup_impl == "fused_bd2" else 1
                 corr_l = lookup_corr_split_v2(
                     pyramid, coords1, cfg.corr_radius,
                     precision=cfg.corr_precision,
                     level_impl=("bd",) * nbd + ("mm",) * (4 - nbd),
                 )
-            elif cfg.corr_lookup in ("fused_vy", "fused_vy_cat"):
+            elif lookup_impl in ("fused_vy", "fused_vy_cat"):
                 corr_l = lookup_corr_split_v2(
                     pyramid, coords1, cfg.corr_radius,
                     precision=cfg.corr_precision, level_impl=("vpu_y",) * 4,
@@ -318,11 +343,11 @@ def gma_iterate(
                 corr_l = lookup_corr_split(
                     pyramid, coords1, cfg.corr_radius,
                     precision=cfg.corr_precision,
-                    x_contraction="vpu" if cfg.corr_lookup == "fusedv" else "mxu",
+                    x_contraction="vpu" if lookup_impl == "fusedv" else "mxu",
                 )
             enc = (
                 basic_motion_encoder_stacked
-                if cfg.corr_lookup in ("fused_cat", "fused_vy_cat")
+                if lookup_impl in ("fused_cat", "fused_vy_cat")
                 else basic_motion_encoder_split
             )
             motion = enc(
@@ -331,7 +356,7 @@ def gma_iterate(
         else:
             corr = lookup(
                 pyramid, coords1, cfg.corr_radius,
-                impl=cfg.corr_lookup, precision=cfg.corr_precision,
+                impl=lookup_impl, precision=cfg.corr_precision,
             )
             motion = basic_motion_encoder(
                 ub["encoder"], flow.astype(cd), corr.astype(cd)

@@ -15,7 +15,10 @@ from accflow_tpu.ops.corr import (  # noqa: F401
     lookup_corr_patch,
     lookup_corr_rows,
 )
-from accflow_tpu.ops.corr_pallas import lookup_corr_pallas  # noqa: F401
+from accflow_tpu.ops.corr_pallas import (  # noqa: F401
+    lookup_corr_fused_from_pyramid,
+    lookup_corr_pallas,
+)
 from accflow_tpu.ops.occlusion import calc_occ_mask, photometric_occ  # noqa: F401
 from accflow_tpu.ops.deform import deform_conv3x3  # noqa: F401
 from accflow_tpu.ops.padding import InputPadder  # noqa: F401

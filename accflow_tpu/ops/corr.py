@@ -275,6 +275,15 @@ def lookup(
     equivalent; they differ only in how the work maps onto the TPU)."""
     if impl == "mm":
         return lookup_corr(pyramid, coords, radius, precision)
+    if impl == "pallas_fused":
+        from accflow_tpu.ops.corr_pallas import lookup_corr_fused_from_pyramid
+
+        # precision=highest (f32 parity paths) -> stream f32; default ->
+        # bf16 (what the serving path quantizes to anyway).
+        stream = jnp.float32 if precision == "highest" else jnp.bfloat16
+        return lookup_corr_fused_from_pyramid(
+            pyramid, coords, radius, stream_dtype=stream
+        )
     if impl == "pallas":
         from accflow_tpu.ops.corr_pallas import lookup_corr_pallas
 

@@ -343,6 +343,60 @@ def test_lookup_corr_pallas_equals_gather(rng):
     np.testing.assert_allclose(fast_bf, ref, rtol=2e-2, atol=5e-2)
 
 
+def test_lookup_corr_fused_pallas_equals_gather(rng):
+    """Fused all-levels Pallas kernel (interpret mode on CPU) vs gather.
+
+    Covers both level impls: at this shape level 0 takes the "packed"
+    bitcast-streaming path (256 % 128 == 0) and levels 1-3 the "3d" path.
+    """
+    b, h, w, c = 2, 16, 16, 16
+    f1 = rng.standard_normal((b, h, w, c)).astype(np.float32)
+    f2 = rng.standard_normal((b, h, w, c)).astype(np.float32)
+    coords = (
+        np.asarray(ops.coords_grid(b, h, w))
+        + rng.uniform(-20, 20, size=(b, h, w, 2)).astype(np.float32)
+    )
+    pyr = ops.build_corr_pyramid(jnp.asarray(f1), jnp.asarray(f2), num_levels=4)
+    ref = np.asarray(ops.lookup_corr_gather(pyr, jnp.asarray(coords), radius=4))
+    fast = np.asarray(
+        ops.lookup_corr_fused_from_pyramid(
+            pyr, jnp.asarray(coords), radius=4, stream_dtype=jnp.float32
+        )
+    )
+    np.testing.assert_allclose(fast, ref, rtol=1e-4, atol=1e-4)
+    # bf16-streamed serving path: quantization-level agreement only.
+    fast_bf = np.asarray(
+        ops.lookup_corr_fused_from_pyramid(pyr, jnp.asarray(coords), radius=4)
+    )
+    np.testing.assert_allclose(fast_bf, ref, rtol=2e-2, atol=5e-2)
+
+
+def test_raft_forward_pallas_fused_matches_mm(rng):
+    """End-to-end RAFT forward with corr_lookup="pallas_fused" (interpret
+    mode) == the mm lookup forward."""
+    import jax
+
+    from accflow_tpu.models.raft import RAFTConfig, init_raft, raft_forward
+
+    cfg = RAFTConfig(iters=2, corr_levels=4, compute_dtype="float32")
+    params = init_raft(jax.random.PRNGKey(0), cfg)
+    img1 = jnp.asarray(rng.uniform(-1, 1, (1, 64, 64, 3)).astype(np.float32))
+    img2 = jnp.asarray(rng.uniform(-1, 1, (1, 64, 64, 3)).astype(np.float32))
+    out_mm = raft_forward(
+        params, img1, img2,
+        RAFTConfig(iters=2, corr_lookup="mm", compute_dtype="float32"),
+        final_only=True,
+    )["flow_up"]
+    out_pf = raft_forward(
+        params, img1, img2,
+        RAFTConfig(iters=2, corr_lookup="pallas_fused", compute_dtype="float32"),
+        final_only=True,
+    )["flow_up"]
+    np.testing.assert_allclose(
+        np.asarray(out_pf), np.asarray(out_mm), rtol=1e-3, atol=1e-3
+    )
+
+
 def test_lookup_corr_split_matches_flat(rng):
     """Per-level split lookup == the flattened mm lookup, reassembled."""
     b, h, w, c = 2, 16, 16, 16
