@@ -132,11 +132,22 @@ def rel_pos_score(p: Params, q: jnp.ndarray, cfg: GMAConfig) -> jnp.ndarray:
     return hs[..., :, None] + ws[..., None, :]
 
 
-def attention(p: Params, fmap: jnp.ndarray, cfg: GMAConfig) -> jnp.ndarray:
+def attention(
+    p: Params, fmap: jnp.ndarray, cfg: GMAConfig, out_dtype=None
+) -> jnp.ndarray:
     """Attention map (N, H, W, C) -> (N, heads, HW, HW).
 
     Branches per modules.py:62-71: position-only, position+content, or
-    content-only (the default used by all released checkpoints)."""
+    content-only (the default used by all released checkpoints).
+
+    The content similarity is computed DIRECTLY in the flattened
+    (N, heads, HW, HW) form — flattening q/k first instead of reshaping
+    the 6D (N, heads, x, y, u, v) result avoids a whole-matrix relayout
+    (3.6 ms on the CVO-6 serving shape: (22, 1, 4096, 4096) is 1.5 GB).
+    out_dtype (e.g. the compute dtype) fuses the storage cast into the
+    softmax instead of a separate 4.9 ms copy; the softmax itself always
+    reduces in float32.
+    """
     n, h, w, _ = fmap.shape
     heads, dh = cfg.num_heads, cfg.dim_head
     qk = conv2d(p["to_qk"], fmap, padding=0)
@@ -145,16 +156,19 @@ def attention(p: Params, fmap: jnp.ndarray, cfg: GMAConfig) -> jnp.ndarray:
     # bf16-valued q/k lose nothing to a single-pass matmul; true-f32
     # parity paths keep exact emulation (see RAFTConfig.corr_precision).
     prec = "highest" if qk.dtype == jnp.float32 else "default"
-    q = q.reshape(n, h, w, heads, dh).astype(jnp.float32) * (dh**-0.5)
-    k = k.reshape(n, h, w, heads, dh).astype(jnp.float32)
-    if cfg.position_only:
-        sim = rel_pos_score(p["pos_emb"], q, cfg)
-    else:
-        sim = jnp.einsum("nxyhd,nuvhd->nhxyuv", q, k, precision=prec)
+    if cfg.position_only or cfg.position_and_content:
+        qp = q.reshape(n, h, w, heads, dh).astype(jnp.float32) * (dh**-0.5)
+        sim = rel_pos_score(p["pos_emb"], qp, cfg)
         if cfg.position_and_content:
-            sim = sim + rel_pos_score(p["pos_emb"], q, cfg)
-    sim = sim.reshape(n, heads, h * w, h * w)
-    return jax.nn.softmax(sim, axis=-1)
+            kp = k.reshape(n, h, w, heads, dh).astype(jnp.float32)
+            sim = sim + jnp.einsum("nxyhd,nuvhd->nhxyuv", qp, kp, precision=prec)
+        sim = sim.reshape(n, heads, h * w, h * w)
+    else:
+        qf = q.reshape(n, h * w, heads, dh).astype(jnp.float32) * (dh**-0.5)
+        kf = k.reshape(n, h * w, heads, dh).astype(jnp.float32)
+        sim = jnp.einsum("nqhd,nkhd->nhqk", qf, kf, precision=prec)
+    out = jax.nn.softmax(sim, axis=-1)
+    return out if out_dtype is None else out.astype(out_dtype)
 
 
 def init_aggregate(key: jax.Array, cfg: GMAConfig, dim: int = 128) -> Params:
@@ -250,7 +264,7 @@ def gma_forward(
     )
 
     net, inp = gma_cnet(params, image1, cfg, train)
-    attn = attention(params["att"], inp, cfg).astype(cd)
+    attn = attention(params["att"], inp, cfg, out_dtype=cd)
     return gma_iterate(
         params, pyramid, net, inp, attn, cfg, iters=iters,
         flow_init=flow_init, final_only=final_only,
@@ -317,11 +331,18 @@ def gma_iterate(
             motion = basic_motion_encoder(
                 ub["encoder"], flow.astype(cd), corr.astype(cd)
             )
-        elif lookup_impl in (
+        elif lookup_impl.startswith("fused_mix:") or lookup_impl in (
             "fused", "fusedv", "packed", "fused_vy", "fused_cat",
             "fused_vy_cat", "fused_bd", "fused_bd2",
         ):
-            if lookup_impl == "packed":
+            if lookup_impl.startswith("fused_mix:"):
+                # Per-level impl mix, e.g. "fused_mix:mm,vpu_y,vpu_y,mm"
+                corr_l = lookup_corr_split_v2(
+                    pyramid, coords1, cfg.corr_radius,
+                    precision=cfg.corr_precision,
+                    level_impl=tuple(lookup_impl.split(":", 1)[1].split(",")),
+                )
+            elif lookup_impl == "packed":
                 corr_l = lookup_corr_split_packed(
                     pyramid, coords1, cfg.corr_radius, precision=cfg.corr_precision
                 )
@@ -364,18 +385,18 @@ def gma_iterate(
         motion_global = aggregate(ub["aggregator"], attn, motion, cfg)
         net = gru_step(net, jnp.concatenate([motion, motion_global], axis=-1))
         delta = flow_head(ub["flow_head"], net)
-        mask = upsample_mask(ub, net) if not final_only else None
+        mask = upsample_mask(ub, net, s_major=True) if not final_only else None
         coords1 = coords1 + delta.astype(jnp.float32)
         if final_only:
             return (net, coords1), None
-        flow_up = convex_upsample(coords1 - coords0, mask)
+        flow_up = convex_upsample(coords1 - coords0, mask, s_major=True)
         return (net, coords1), flow_up
 
     (net, coords1), flows_up = lax.scan(step, (net, coords1), None, length=iters)
 
     if final_only:
-        mask = upsample_mask(params["update_block"], net)
-        flow_up = convex_upsample(coords1 - coords0, mask)
+        mask = upsample_mask(params["update_block"], net, s_major=True)
+        flow_up = convex_upsample(coords1 - coords0, mask, s_major=True)
         return {"flow_up": flow_up, "flow_low": coords1 - coords0}
 
     return {
@@ -424,7 +445,7 @@ def gma_pairs_forward(
     net_u, inp_u = gma_cnet(
         params, frames[jnp.asarray(src_used)].reshape(len(src_used) * n, h, w, 3), cfg
     )
-    attn_u = attention(params["att"], inp_u, cfg).astype(cd)
+    attn_u = attention(params["att"], inp_u, cfg, out_dtype=cd)
     hw8 = (h // 8) * (w // 8)
     net_u = net_u.reshape(len(src_used), n, h // 8, w // 8, -1)
     inp_u = inp_u.reshape(len(src_used), n, h // 8, w // 8, -1)

@@ -312,9 +312,21 @@ def init_basic_update_block(key: jax.Array, cfg: RAFTConfig, hidden_dim: int = 1
     }
 
 
-def upsample_mask(p: Params, net) -> jnp.ndarray:
-    """0.25-scaled convex-upsampling mask head (update.py:122-125,135)."""
-    return 0.25 * conv2d(p["mask"]["2"], relu(conv2d(p["mask"]["0"], net)), padding=0)
+def upsample_mask(p: Params, net, s_major: bool = False) -> jnp.ndarray:
+    """0.25-scaled convex-upsampling mask head (update.py:122-125,135).
+
+    s_major=True permutes the final conv's output channels (free: a 576-wide
+    weight gather at trace time) so the mask comes out in the (sub-pixel,
+    tap) layout that convex_upsample(s_major=True) consumes without the
+    whole-mask swapaxes relayout. Parameters stay in the canonical
+    checkpoint layout."""
+    w2 = p["mask"]["2"]
+    if s_major:
+        from accflow_tpu.ops.upsample import mask_s_major_perm
+
+        perm = jnp.asarray(mask_s_major_perm(w2["b"].shape[0]))
+        w2 = {"w": jnp.take(w2["w"], perm, axis=-1), "b": jnp.take(w2["b"], perm)}
+    return 0.25 * conv2d(w2, relu(conv2d(p["mask"]["0"], net)), padding=0)
 
 
 def basic_update_block(p: Params, net, inp, corr, flow, with_mask: bool = True):
@@ -508,11 +520,18 @@ def raft_iterate(
                 motion = basic_motion_encoder(
                     ub["encoder"], flow.astype(cd), corr.astype(cd)
                 )
-            elif lookup_impl in (
+            elif lookup_impl.startswith("fused_mix:") or lookup_impl in (
                 "fused", "fusedv", "packed", "fused_vy", "fused_cat",
                 "fused_vy_cat", "fused_bd", "fused_bd2",
             ):
-                if lookup_impl == "packed":
+                if lookup_impl.startswith("fused_mix:"):
+                    # Per-level impl mix, e.g. "fused_mix:mm,vpu_y,vpu_y,mm"
+                    corr_l = lookup_corr_split_v2(
+                        pyramid, coords1, cfg.radius,
+                        precision=cfg.corr_precision,
+                        level_impl=tuple(lookup_impl.split(":", 1)[1].split(",")),
+                    )
+                elif lookup_impl == "packed":
                     corr_l = lookup_corr_split_packed(
                         pyramid, coords1, cfg.radius, precision=cfg.corr_precision
                     )
@@ -559,14 +578,14 @@ def raft_iterate(
                 )
             net = gru_step(net, motion)
             delta = flow_head(ub["flow_head"], net)
-            mask = upsample_mask(ub, net) if not final_only else None
+            mask = upsample_mask(ub, net, s_major=True) if not final_only else None
         coords1 = coords1 + delta.astype(jnp.float32)
         if final_only:
             return (net, coords1), None
         if mask is None:
             flow_up = upflow8(coords1 - coords0)
         else:
-            flow_up = convex_upsample(coords1 - coords0, mask)
+            flow_up = convex_upsample(coords1 - coords0, mask, s_major=True)
         return (net, coords1), flow_up
 
     (net, coords1), flows_up = lax.scan(step, (net, coords1), None, length=iters)
@@ -575,8 +594,8 @@ def raft_iterate(
         if cfg.small:
             flow_up = upflow8(coords1 - coords0)
         else:
-            mask = upsample_mask(params["update_block"], net)
-            flow_up = convex_upsample(coords1 - coords0, mask)
+            mask = upsample_mask(params["update_block"], net, s_major=True)
+            flow_up = convex_upsample(coords1 - coords0, mask, s_major=True)
         return {"flow_up": flow_up, "flow_low": coords1 - coords0}
 
     return {

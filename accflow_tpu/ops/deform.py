@@ -60,10 +60,16 @@ def deform_conv3x3(
     px = gx[None, :, :, None] + (kx - 1.0)[None, None, None, :] + dx
     coords = jnp.stack([px, py], axis=-1)  # (N, H, W, 9, 2), (x, y) order
 
-    sampled = bilinear_sample(x.astype(jnp.float32), coords)  # (N, H, W, 9, Cin)
-    sampled = sampled * mask.astype(jnp.float32)[..., None]
+    # Sample in x's own dtype: the tap weights/coords stay float32, only
+    # the gathered VALUES and the 4-tap blend carry x.dtype. For bfloat16
+    # inputs this halves the (N, H, W, 9, Cin) intermediate's traffic; the
+    # reference runs DeformConv2d under autocast (fp16) so a bf16 blend is
+    # within the documented AMP policy. float32 inputs (parity paths) are
+    # bit-identical to before.
+    sampled = bilinear_sample(x, coords)  # (N, H, W, 9, Cin)
+    sampled = sampled * mask.astype(sampled.dtype)[..., None]
 
-    sampled = sampled.reshape(n, h, w, 9 * cin).astype(x.dtype)
+    sampled = sampled.reshape(n, h, w, 9 * cin)
     wmat = weight.reshape(9 * cin, cout).astype(x.dtype)
     # Tap-major flatten (k, cin) matches sampled's (9, Cin) flatten above:
     # weight (3, 3, Cin, Cout) -> (ky, kx, cin) = (k, cin) row-major. OK.

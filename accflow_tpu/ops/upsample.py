@@ -35,11 +35,28 @@ def neighborhood3x3(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(taps, axis=3)
 
 
-def convex_upsample(flow: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+def mask_s_major_perm(num: int = 576):
+    """Channel permutation turning a (k, s)-major convex-upsample mask head
+    into (s, k)-major: perm[c'] with c' = s*9 + k reads original channel
+    k*64 + s. Applying this to the mask conv's OUTPUT channels (weights +
+    bias, free at trace time) lets convex_upsample skip the whole-mask
+    (..., 9, 64) -> (..., 64, 9) swapaxes relayout (a ~200 MB f32 copy per
+    OFE call at the CVO-6 serving shape)."""
+    import numpy as np
+
+    c = np.arange(num)
+    return (c % 9) * (num // 9) + c // 9
+
+
+def convex_upsample(
+    flow: jnp.ndarray, mask: jnp.ndarray, s_major: bool = False
+) -> jnp.ndarray:
     """Upsample flow (N, H, W, 2) to (N, 8H, 8W, 2) via learned convex weights.
 
     mask: (N, H, W, 576) with channel layout (k, r, s) = (3x3 tap, sub-row,
-    sub-col) — the NHWC image of the reference's (N, 9*64, H, W) tensor.
+    sub-col) — the NHWC image of the reference's (N, 9*64, H, W) tensor —
+    or, with s_major=True, the (r*8+s, k) layout produced by a mask head
+    whose output channels were permuted with mask_s_major_perm.
     Computation runs in float32 regardless of input dtype (the reference
     computes this outside autocast).
     """
@@ -47,9 +64,12 @@ def convex_upsample(flow: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     # Keep the softmax reduction on the MINOR axis: (..., 64, 9) instead of
     # the 6D (..., 9, 8, 8) view — the latter makes XLA relayout the whole
     # mask around the axis-3 reduce (two ~400 MB copies per call at 512^2).
-    logits = (
-        mask.reshape(n, h, w, 9, 64).astype(jnp.float32).swapaxes(-1, -2)
-    )  # (N, H, W, 64, 9)
+    if s_major:
+        logits = mask.reshape(n, h, w, 64, 9).astype(jnp.float32)
+    else:
+        logits = (
+            mask.reshape(n, h, w, 9, 64).astype(jnp.float32).swapaxes(-1, -2)
+        )  # (N, H, W, 64, 9)
     probs = jax.nn.softmax(logits, axis=-1)
 
     nbh = neighborhood3x3(8.0 * flow.astype(jnp.float32))  # (N, H, W, 9, 2)

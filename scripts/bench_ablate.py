@@ -84,6 +84,20 @@ def main():
         ("vy_cat_bf16vol", dict(corr_lookup="fused_vy_cat",
                                 corr_volume_dtype="bfloat16")),
         ("lookup_pallas", dict(corr_lookup="pallas")),
+        # r3: bf16 volume under the flat-Q layout (the r1 negative result
+        # predates it; the r2 trace shows a 10.4 ms/step in-scan cast of
+        # the f32 volume that bf16 storage hoists to build time).
+        ("fused_bf16vol", dict(corr_volume_dtype="bfloat16")),
+        ("mm_bf16vol", dict(corr_lookup="mm", corr_volume_dtype="bfloat16")),
+        ("pallas_fused", dict(corr_lookup="pallas_fused")),
+        ("pf_bf16vol", dict(corr_lookup="pallas_fused",
+                            corr_volume_dtype="bfloat16")),
+        # r3: per-level mixes (micro_lookup2 at B=22: vpu_y wins L1/L2
+        # standalone, mm wins L0/L3 — but the r2 all-vpu_y END-TO-END loss
+        # says in-model fusion can invert micro wins; race the mixes).
+        ("mix_mvvm", dict(corr_lookup="fused_mix:mm,vpu_y,vpu_y,mm")),
+        ("mix_mvvv", dict(corr_lookup="fused_mix:mm,vpu_y,vpu_y,vpu_y")),
+        ("mix_mmvm", dict(corr_lookup="fused_mix:mm,mm,vpu_y,mm")),
         ("iters3", dict(iters=3)),
         ("iters3_pallas", dict(iters=3, corr_lookup="pallas")),
     ]

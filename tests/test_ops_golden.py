@@ -121,6 +121,17 @@ def test_convex_upsample_matches_raft(rng):
     ref = torch_upsample_flow(nchw(flow), nchw(mask))
     np.testing.assert_allclose(ours, to_nhwc(ref), rtol=1e-4, atol=1e-4)
 
+    # s_major fast path: permuted mask channels + s_major decode == default.
+    from accflow_tpu.ops.upsample import mask_s_major_perm
+
+    perm = mask_s_major_perm(576)
+    ours_s = np.asarray(
+        ops.convex_upsample(
+            jnp.asarray(flow), jnp.asarray(mask[..., perm]), s_major=True
+        )
+    )
+    np.testing.assert_allclose(ours_s, ours, rtol=1e-6, atol=1e-6)
+
 
 # ---------------------------------------------------------------------------
 # Correlation pyramid + lookup (CorrBlock)
