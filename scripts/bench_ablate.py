@@ -98,6 +98,7 @@ def main():
         ("mix_mvvm", dict(corr_lookup="fused_mix:mm,vpu_y,vpu_y,mm")),
         ("mix_mvvv", dict(corr_lookup="fused_mix:mm,vpu_y,vpu_y,vpu_y")),
         ("mix_mmvm", dict(corr_lookup="fused_mix:mm,mm,vpu_y,mm")),
+        ("mix_mmmr", dict(corr_lookup="fused_mix:mm,mm,mm,rows")),
         ("iters3", dict(iters=3)),
         ("iters3_pallas", dict(iters=3, corr_lookup="pallas")),
     ]

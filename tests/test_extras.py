@@ -187,3 +187,68 @@ def test_high_speed_sintel_layout(tmp_path, rng):
     assert len(s["sintel_imgs"]) == 2
     assert len(s["hs_sintel_imgs"]) == 3  # ceil(13 / 6)
     assert s["hs_sintel_imgs"][0].shape == (436, 1024, 3)
+
+
+def test_test_cvo_sh_matches_reference_grid(tmp_path):
+    """scripts/test_cvo.sh expands to exactly the reference's 16-run grid
+    (/root/reference/test_cvo.sh): {clean,final} x {raft,gma} x
+    {direct+ofe_ckpt, acc+acc_ckpt} x {things,cvo}. Runs the script with a
+    recording `python` stub so the glue itself is executed."""
+    import os
+    import stat
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    log = tmp_path / "calls.log"
+    stub_dir = tmp_path / "bin"
+    stub_dir.mkdir()
+    stub = stub_dir / "python"
+    stub.write_text(f'#!/bin/bash\necho "$@" >> {log}\n')
+    stub.chmod(stub.stat().st_mode | stat.S_IEXEC)
+
+    env = dict(os.environ)
+    env["PATH"] = f"{stub_dir}:{env['PATH']}"
+    env["CKPT_DIR"] = "CK"
+    env["DATA_ROOT"] = "DR"
+    subprocess.run(
+        ["bash", os.path.join(repo, "scripts", "test_cvo.sh")],
+        check=True, env=env, cwd=repo,
+    )
+
+    calls = [line.split() for line in log.read_text().splitlines()]
+    assert len(calls) == 16
+    got = set()
+    for args in calls:
+        flags = dict(zip(args, args[1:]))
+        ckpt = flags.get("--ofe_ckpt") or flags.get("--acc_ckpt")
+        got.add((flags["-d"], flags["-acc"], flags["-ofe"], ckpt))
+        assert flags["--dataset-root"] == "DR"
+    want = set()
+    for split in ("clean", "final"):
+        for ofe in ("raft", "gma"):
+            for tag in ("things", "cvo"):
+                want.add((split, "direct", ofe, f"CK/{ofe}-{tag}.pth"))
+                want.add((split, "acc", ofe, f"CK/acc+{ofe}-{tag}.pth"))
+    assert got == want
+
+
+def test_reference_noise_quirk():
+    """train_acc.py:216-220 noise: clamp-to-[0,255] then 2x/255-1 keeps
+    only the positive gaussian lobe and collapses the negative half to
+    exactly -1 (the reference trained its released checkpoints this way).
+    Pin those properties."""
+    import jax
+    import numpy as np
+
+    from accflow_tpu.train.engine import reference_noise
+
+    noise = np.asarray(
+        reference_noise(jax.random.PRNGKey(3), (4, 16, 16, 3))
+    )
+    assert noise.shape == (4, 16, 16, 3)
+    assert noise.min() >= -1.0 and noise.max() <= 1.0
+    # Negative gaussian lobe clamps to exactly -1: ~half the entries.
+    frac_floor = float((noise == -1.0).mean())
+    assert 0.4 < frac_floor < 0.6
+    # Positive lobe survives (stdv ~ U[0,5) of 255 is small but nonzero).
+    assert float(noise.max()) > -1.0

@@ -301,6 +301,33 @@ def test_gma_positional_attention_parity(branch):
     np.testing.assert_allclose(np.asarray(ours), _np(ref), rtol=1e-5, atol=1e-6)
 
 
+def test_raft_small_parity(image_pair):
+    """Small RAFT variant (96/64 dims, r=3, ConvGRU, upflow8 upsampling)
+    vs the reference torch model with converted weights
+    (networks/raft/raft.py:30-34,49-57, update.py:62-112). No released
+    checkpoint uses it, but the code path + converter mapping are pinned
+    numerically here."""
+    import argparse
+    from networks.raft.raft import RAFT
+
+    from accflow_tpu.convert.torch_weights import convert_state_dict
+    from accflow_tpu.models.raft import RAFTConfig, init_raft, raft_forward
+
+    torch.manual_seed(1)
+    model = RAFT(argparse.Namespace(small=True, mixed_precision=False)).eval()
+    i1, i2 = image_pair
+    with torch.no_grad():
+        ref = model(i1, i2, iters=4)
+
+    cfg = RAFTConfig(small=True, compute_dtype="float32", iters=4)
+    template = init_raft(jax.random.PRNGKey(0), cfg)
+    params = convert_state_dict(template, model.state_dict())
+    out = raft_forward(params, nhwc(i1), nhwc(i2), cfg)
+
+    ours = np.moveaxis(np.asarray(out["flow_up"]), -1, 1)
+    np.testing.assert_allclose(ours, _np(ref), rtol=1e-3, atol=5e-3)
+
+
 def test_raft_small_smoke():
     """The small RAFT variant (96/64 dims, r=3, ConvGRU, no learned
     upsampling mask) runs and produces sane shapes. No released checkpoint

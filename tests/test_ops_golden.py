@@ -521,3 +521,25 @@ def test_motion_encoder_stacked_matches_split(rng):
     stacked = np.asarray(basic_motion_encoder_stacked(p, flow, levels))
     np.testing.assert_allclose(split, ref, rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(stacked, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_corr_single_scale_matches_level0(rng):
+    """CorrBlockSingleScale (networks/gma/corr.py:61-99) == level 0 of the
+    pyramid: same volume, same 81-tap lookup, no pooling."""
+    from accflow_tpu.ops.corr import build_corr_single_scale
+
+    b, h, w, c = 2, 16, 16, 16
+    f1 = rng.standard_normal((b, h, w, c)).astype(np.float32)
+    f2 = rng.standard_normal((b, h, w, c)).astype(np.float32)
+    coords = (
+        np.asarray(ops.coords_grid(b, h, w))
+        + rng.uniform(-6, 6, size=(b, h, w, 2)).astype(np.float32)
+    )
+    pyr_ss = build_corr_single_scale(jnp.asarray(f1), jnp.asarray(f2))
+    assert len(pyr_ss.levels) == 1
+    out_ss = np.asarray(ops.lookup_corr_gather(pyr_ss, jnp.asarray(coords), radius=4))
+    pyr_full = ops.build_corr_pyramid(jnp.asarray(f1), jnp.asarray(f2), num_levels=4)
+    out_full = np.asarray(
+        ops.lookup_corr_gather(pyr_full, jnp.asarray(coords), radius=4)
+    )
+    np.testing.assert_allclose(out_ss, out_full[..., :81], rtol=1e-5, atol=1e-5)
