@@ -332,7 +332,7 @@ def gma_iterate(
                 ub["encoder"], flow.astype(cd), corr.astype(cd)
             )
         elif lookup_impl.startswith("fused_mix:") or lookup_impl in (
-            "fused", "fusedv", "packed", "fused_vy", "fused_cat",
+            "fused", "fusedv", "packed", "packed2", "fused_vy", "fused_cat",
             "fused_vy_cat", "fused_bd", "fused_bd2",
         ):
             if lookup_impl.startswith("fused_mix:"):
@@ -342,10 +342,12 @@ def gma_iterate(
                     precision=cfg.corr_precision,
                     level_impl=tuple(lookup_impl.split(":", 1)[1].split(",")),
                 )
-            elif lookup_impl == "packed":
-                corr_l = lookup_corr_split_packed(
-                    pyramid, coords1, cfg.corr_radius, precision=cfg.corr_precision
-                )
+            elif lookup_impl in ("packed", "packed2"):
+                    corr_l = lookup_corr_split_packed(
+                        pyramid, coords1, cfg.corr_radius,
+                        precision=cfg.corr_precision,
+                        start=1 if lookup_impl == "packed" else 2,
+                    )
             elif lookup_impl in ("fused_bd", "fused_bd2"):
                 # Block-diagonal Pallas MXU y-contraction for the big
                 # levels (ops/corr_pallas.py::y_contract_bd).

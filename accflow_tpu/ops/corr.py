@@ -148,8 +148,9 @@ def lookup_corr_split_packed(
     coords: jnp.ndarray,
     radius: int = 4,
     precision: str = "highest",
+    start: int = 1,
 ) -> list:
-    """lookup_corr_split with levels 1..L-1 PACKED into one volume.
+    """lookup_corr_split with levels start..L-1 PACKED into one volume.
 
     On TPU the small pyramid levels' lookups are overhead-bound, not
     data-bound (the batched (9, hl) x (hl, wl) matmuls pay per-batch-element
@@ -160,7 +161,11 @@ def lookup_corr_split_packed(
     their own y-range, and taps landing in x padding multiply zeros,
     which is precisely the zeros-padding sampling semantics.
 
-    Returns [level0 (B,H,W,9,9), packed (B,H,W,L-1,9,9)].
+    Returns [per-level (B,H,W,9,9) for levels < start,
+    packed (B,H,W,L-start,9,9)]. start=2 packs only the TINY levels —
+    the (Q,16,16)/(Q,8,8) tent einsums trigger a pathological XLA
+    "convolution" lowering at ~31 GB/s (traced r3) that a single taller
+    packed einsum avoids, while the well-lowered big levels keep mm.
     """
     b, h, w, _ = coords.shape
     num = 2 * radius + 1
@@ -168,14 +173,16 @@ def lookup_corr_split_packed(
     q = b * h * w
     cf = coords.reshape(q, 2).astype(jnp.float32)
 
-    out0 = lookup_corr_split(
-        CorrPyramid(levels=pyramid.levels[:1], h1=pyramid.h1, w1=pyramid.w1),
+    outs_big = lookup_corr_split(
+        CorrPyramid(
+            levels=pyramid.levels[:start], h1=pyramid.h1, w1=pyramid.w1
+        ),
         coords, radius, precision,
-    )[0]
+    )
 
-    small = pyramid.levels[1:]
+    small = pyramid.levels[start:]
     nl = len(small)
-    wp = small[0].shape[-1]  # pack width = level 1's wl
+    wp = small[0].shape[-1]  # pack width = first packed level's wl
     offs = []
     rows = []
     off = 0
@@ -195,7 +202,7 @@ def lookup_corr_split_packed(
     wxs = []
     for li, lvl in enumerate(small):
         hl, wl = lvl.shape[-2:]
-        scale = 2.0 ** (li + 1)
+        scale = 2.0 ** (li + start)
         cy = cf[:, 1:2] / scale + delta[None] + float(offs[li])  # (Q, 9)
         wy = jnp.maximum(0.0, 1.0 - jnp.abs(ys[None, None, :] - cy[..., None]))
         mask = (ys >= offs[li]) & (ys < offs[li] + hl)
@@ -213,7 +220,7 @@ def lookup_corr_split_packed(
         "qlax,qlbx->qlab", wx_p, tmp.astype(packed.dtype), precision=precision,
         preferred_element_type=jnp.float32,
     )
-    return [out0, out.reshape(b, h, w, nl, num, num)]
+    return outs_big + [out.reshape(b, h, w, nl, num, num)]
 
 
 def lookup_corr_split(

@@ -99,6 +99,10 @@ def main():
         ("mix_mvvv", dict(corr_lookup="fused_mix:mm,vpu_y,vpu_y,vpu_y")),
         ("mix_mmvm", dict(corr_lookup="fused_mix:mm,mm,vpu_y,mm")),
         ("mix_mmmr", dict(corr_lookup="fused_mix:mm,mm,mm,rows")),
+        # r3: pack only the tiny levels (their mm einsums trigger a 31 GB/s
+        # XLA convolution lowering — traced; one taller packed einsum may
+        # dodge it while keeping mm for the well-lowered big levels).
+        ("packed2", dict(corr_lookup="packed2")),
         ("iters3", dict(iters=3)),
         ("iters3_pallas", dict(iters=3, corr_lookup="pallas")),
     ]

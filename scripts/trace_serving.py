@@ -84,7 +84,7 @@ def parse():
     # loops) span their children and would double-count.
     def is_container(name):
         base = name.split(".")[0].split("(")[0]
-        return base in ("jit_step", "while", "body", "condition", "jit__lambda_")
+        return base.startswith("jit_") or base in ("while", "body", "condition")
 
     per_src = defaultdict(lambda: [0.0, 0, 0.0, 0.0])  # ms, count, GB, GFLOP
     total = 0.0

@@ -450,6 +450,18 @@ def test_lookup_corr_split_packed_matches_flat(rng):
     ref = np.asarray(ops.lookup_corr(pyr, jnp.asarray(coords), radius=4))
     np.testing.assert_allclose(flat, ref, rtol=1e-5, atol=1e-5)
 
+    # start=2 variant: mm for levels 0-1, tiny levels packed.
+    lvl0b, lvl1b, packed2 = lookup_corr_split_packed(
+        pyr, jnp.asarray(coords), radius=4, start=2
+    )
+    flat2 = np.concatenate(
+        [np.asarray(lvl0b).reshape(b, h, w, 81),
+         np.asarray(lvl1b).reshape(b, h, w, 81)]
+        + [np.asarray(packed2[:, :, :, l]).reshape(b, h, w, 81) for l in range(2)],
+        axis=-1,
+    )
+    np.testing.assert_allclose(flat2, ref, rtol=1e-5, atol=1e-5)
+
 
 def test_lookup_corr_split_vpu_matches_mxu(rng):
     b, h, w, c = 2, 16, 16, 16
