@@ -1,25 +1,27 @@
-"""Pallas TPU kernel: fused correlation-pyramid window lookup.
+"""Pallas TPU kernels for the correlation-pyramid window lookup.
 
-Replaces the XLA mm lookup (ops/corr.py::lookup_corr) on the RAFT/GMA hot
-path. For every query pixel q the kernel computes the (2r+1)^2 bilinear
-window of q's OWN (hl, wl) correlation map around coords/2^level
-(networks/raft/corr.py:24-45 semantics: align_corners grid, zeros padding,
-x-major window flatten).
+For every query pixel q the lookup computes the (2r+1)^2 bilinear window
+of q's OWN (hl, wl) correlation map around coords/2^level
+(networks/raft/corr.py:24-45 semantics: align_corners grid, zeros
+padding, x-major window flatten).
 
-Why a kernel (measured on-chip, see PARITY.md perf notes): the XLA lookup
-runs one fused op per level whose effective bandwidth collapses on the
-small pyramid levels (level0 292 GB/s, level3 38 GB/s of 819 peak — the
-90k-element batch of (9,hl)x(hl,wl) matmuls pays per-element dispatch),
-and its (90112,9,9)->(B,64,64,81) output reshape is a 0.5 ms relayout per
-level per iteration. Here:
+Contents, in order of construction (full measured journey in PARITY.md
+"Round-3 fused Pallas lookup kernel"):
 
-- levels stream as FLAT (Q, hl*wl) rows — minor dim a multiple of 128 for
-  levels 0-2, so bfloat16 streaming is unpadded (the (...,64,64) 4D layout
-  pads 64 lanes to 128 and erases bf16's bandwidth win);
-- tent weights are built in-registers from broadcasted iotas;
-- both separable contractions run in VMEM on the tile;
-- the output is written directly as (Q, 81) rows in the update block's
-  consumption dtype/layout (a free bitcast to (B, H, W, 81)).
+- y_contract_bd / lookup_corr_pallas: the r2 experiments — a standalone
+  block-diagonal y-contraction (loses end-to-end: it materializes the
+  weights and the intermediate in HBM) and a per-query kernel (10.6 f/s:
+  per-query fori_loop dots serialize). Kept as exactness-tested
+  baselines for the dispatch table in ops/corr.py::lookup.
+- lookup_corr_fused (+ prepare_fused_lookup_operands,
+  fused_lookup_supported): the r3 fused ALL-LEVELS kernel —
+  corr_lookup="pallas_fused". One pallas_call per iteration computes all
+  four levels' windows and writes the concatenated (Q, L*81)
+  motion-encoder input. It reaches ~parity with the XLA fused lookup
+  (~10 vs ~9.4 ms/iteration on the CVO-6 serving shape) against a
+  measured 2.25 ms passthrough floor; the remaining gap is tent-weight
+  VPU work whose vectorization is blocked by Mosaic's shape-cast rule
+  (CLAUDE.md). Guarded, non-default.
 """
 
 from __future__ import annotations
