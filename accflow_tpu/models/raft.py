@@ -501,10 +501,12 @@ def raft_iterate(
         coords1 = lax.stop_gradient(coords1)
         flow = coords1 - coords0
         if cfg.small:
+            # The small path has no split-window consumer: any fused-family
+            # or kernel impl maps to the equivalent flat mm lookup.
             impl = (
-                "mm"
-                if cfg.corr_lookup in ("fused", "pallas_fused")
-                else cfg.corr_lookup
+                cfg.corr_lookup
+                if cfg.corr_lookup in ("mm", "rows", "patch", "gather", "pallas")
+                else "mm"
             )
             corr = lookup(
                 pyramid, coords1, cfg.radius,
