@@ -126,3 +126,53 @@ def test_maybe_init_distributed_noop_and_env(monkeypatch):
         "num_processes": 4,
         "process_id": 2,
     }
+
+
+@pytest.mark.slow
+def test_sharded_acc_train_step_matches_unsharded(cpu_devices):
+    """ONE full accumulator training step (fwd + bwd + AdamW update) with
+    the batch sharded over the 8-device data axis == unsharded execution:
+    same loss and same updated parameters (GSPMD inserts the gradient
+    psums). This is the numeric check behind __graft_entry__'s
+    dryrun_multichip, which only asserts execution."""
+    from accflow_tpu.models import build_flow_estimator
+    from accflow_tpu.models.accflow import AccFlowConfig, init_accflow
+    from accflow_tpu.train.engine import TrainState, make_acc_train_step
+    from accflow_tpu.train.optim import make_optimizer
+
+    est = build_flow_estimator("raft", compute_dtype="float32", iters=2)
+    acfg = AccFlowConfig(compute_dtype="float32")
+    ofe_params = est.init(jax.random.PRNGKey(0))
+    acc_params = init_accflow(jax.random.PRNGKey(1), acfg)
+    tx, _ = make_optimizer(lr=1e-4, num_steps=10, wdecay=1e-5, clip=1.0)
+    train_step, _ = make_acc_train_step(est, acfg, tx, add_noise=False)
+
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.uniform(0, 255, (8, 64, 64, 21)).astype(np.float32))
+    bflows = jnp.asarray(rng.uniform(-5, 5, (8, 64, 64, 10)).astype(np.float32))
+    key = jax.random.PRNGKey(7)
+
+    def fresh_state():
+        return TrainState(
+            jax.tree.map(jnp.copy, acc_params), tx.init(acc_params), jnp.int32(0)
+        )
+
+    ref_state, ref_loss, _ = train_step(fresh_state(), ofe_params, imgs, bflows, key)
+    ref_leaf = np.asarray(jax.tree.leaves(ref_state.params)[0])
+
+    mesh = make_mesh(n_data=8, n_spatial=1)
+    bsh = NamedSharding(mesh, P("data", None, None, None))
+    rep = NamedSharding(mesh, P())
+    state_s = jax.device_put(fresh_state(), rep)
+    out_state, loss_s, _ = train_step(
+        jax.device_put(state_s, rep),
+        jax.device_put(ofe_params, rep),
+        jax.device_put(imgs, bsh),
+        jax.device_put(bflows, bsh),
+        key,
+    )
+    np.testing.assert_allclose(float(loss_s), float(ref_loss), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(out_state.params)[0]), ref_leaf,
+        rtol=1e-4, atol=1e-5,
+    )
