@@ -79,7 +79,8 @@ class GMAConfig:
     # (halves volume HBM footprint + lookup traffic; values are quantized
     # to bf16, which the bf16 update block does anyway after lookup).
     corr_volume_dtype: str = "float32"
-    # Corr lookup implementation (see ops/corr.py).
+    # Corr lookup implementation (see ops/corr.py and models/raft.py's
+    # RAFTConfig for the full list; measured trade-offs in PARITY.md).
     corr_lookup: str = "fused"
 
     @property
@@ -343,11 +344,11 @@ def gma_iterate(
                     level_impl=tuple(lookup_impl.split(":", 1)[1].split(",")),
                 )
             elif lookup_impl in ("packed", "packed2"):
-                    corr_l = lookup_corr_split_packed(
-                        pyramid, coords1, cfg.corr_radius,
-                        precision=cfg.corr_precision,
-                        start=1 if lookup_impl == "packed" else 2,
-                    )
+                corr_l = lookup_corr_split_packed(
+                    pyramid, coords1, cfg.corr_radius,
+                    precision=cfg.corr_precision,
+                    start=1 if lookup_impl == "packed" else 2,
+                )
             elif lookup_impl in ("fused_bd", "fused_bd2"):
                 # Block-diagonal Pallas MXU y-contraction for the big
                 # levels (ops/corr_pallas.py::y_contract_bd).

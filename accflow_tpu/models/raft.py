@@ -60,8 +60,12 @@ class RAFTConfig:
     # (halves volume HBM footprint + lookup traffic; values are quantized
     # to bf16, which the bf16 update block does anyway after lookup).
     corr_volume_dtype: str = "float32"
-    # Corr lookup implementation: "mm" | "rows" | "patch" | "gather"
-    # (numerically equivalent; see ops/corr.py).
+    # Corr lookup implementation (all numerically equivalent; measured
+    # trade-offs in PARITY.md): "fused" (default — per-level windows
+    # einsummed into convc1), "mm", "rows", "patch", "gather", "packed",
+    # "packed2", "fusedv", "fused_vy[_cat]", "fused_cat", "fused_bd[2]",
+    # "fused_mix:<l0,l1,l2,l3>", "pallas" (per-query kernel),
+    # "pallas_fused" (all-levels kernel; inference-only, guarded).
     corr_lookup: str = "fused"
 
     @property
