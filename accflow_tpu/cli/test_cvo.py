@@ -25,6 +25,10 @@ def main(argv=None):
     parser.add_argument("--end", type=int, default=6)
     parser.add_argument("--iters", type=int, default=12)
     parser.add_argument("--compute-dtype", type=str, default="bfloat16")
+    parser.add_argument("--corr_lookup", type=str, default="fused",
+                        help="correlation lookup implementation (see "
+                        "RAFTConfig.corr_lookup; measured trade-offs in "
+                        "PARITY.md)")
     parser.add_argument("--warm_start", action="store_true",
                         help="warm-start consecutive pair solves from the "
                         "previous advected flow (reference README TODO; "
@@ -61,6 +65,7 @@ def main(argv=None):
         ofe_ckpt=args.ofe_ckpt,
         compute_dtype=args.compute_dtype,
         warm_start=args.warm_start,
+        corr_lookup=args.corr_lookup,
     )
 
 

@@ -59,6 +59,7 @@ def evaluate_cvo(
     result_file: Optional[str] = None,
     frames: int = 7,
     warm_start: bool = False,
+    corr_lookup: str = "fused",
 ):
     """Run the CVO-{end} protocol. model_name: e.g. "direct|raft",
     "acc|gma" (test_cvo.py:118). Params may be passed directly (tests) or
@@ -73,7 +74,9 @@ def evaluate_cvo(
     the estimator's iteration start, not the protocol.
     """
     use_acc = "acc" in model_name.split("|")[0]
-    est = build_flow_estimator(model_name, compute_dtype=compute_dtype)
+    est = build_flow_estimator(
+        model_name, compute_dtype=compute_dtype, corr_lookup=corr_lookup
+    )
 
     if params is None:
         template = est.init(jax.random.PRNGKey(0))
