@@ -1,0 +1,72 @@
+"""Export the AccFlow serving pipeline as a portable StableHLO artifact.
+
+    python -m accflow_tpu.cli.export_serving --ofe raft \
+        --acc_ckpt checkpoints/acc+raft-things.pth \
+        --frames 7 --batch 2 --size 512 --out acc_raft_512.sflow
+
+The artifact bakes the converted weights in as constants and is loadable
+with jax alone (accflow_tpu.serving.load_artifact / jax.export) on any
+machine with the target platform. Without --acc_ckpt it exports a
+random-init model (smoke/testing).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--ofe", choices=["raft", "gma"], default="raft")
+    parser.add_argument("--acc_ckpt", type=str, default=None,
+                        help="acc+{ofe}-*.pth checkpoint (OFE included)")
+    parser.add_argument("--frames", type=int, default=7)
+    parser.add_argument("--batch", type=int, default=2)
+    parser.add_argument("--size", type=int, default=512)
+    parser.add_argument("--iters", type=int, default=12)
+    parser.add_argument("--compute-dtype", type=str, default="bfloat16")
+    parser.add_argument("--corr_lookup", type=str, default="fused")
+    parser.add_argument("--platforms", type=str, default=None,
+                        help="comma list, e.g. 'tpu' or 'tpu,cpu' "
+                        "(default: current backend)")
+    parser.add_argument("--out", type=str, required=True)
+    args = parser.parse_args(argv)
+
+    import jax
+
+    from accflow_tpu.models import build_flow_estimator
+    from accflow_tpu.models.accflow import AccFlowConfig, init_accflow
+    from accflow_tpu.serving import export_serving, save_artifact
+
+    est = build_flow_estimator(
+        args.ofe, compute_dtype=args.compute_dtype, iters=args.iters,
+        corr_lookup=args.corr_lookup,
+    )
+    acfg = AccFlowConfig(compute_dtype=args.compute_dtype)
+    if args.acc_ckpt:
+        from accflow_tpu.convert.torch_weights import load_accflow_checkpoint
+
+        acc_params, ofe_params = load_accflow_checkpoint(
+            args.acc_ckpt,
+            init_accflow(jax.random.PRNGKey(1), acfg),
+            est.init(jax.random.PRNGKey(0)),
+        )
+    else:
+        ofe_params = est.init(jax.random.PRNGKey(0))
+        acc_params = init_accflow(jax.random.PRNGKey(1), acfg)
+
+    platforms = args.platforms.split(",") if args.platforms else None
+    exported = export_serving(
+        est, acfg, ofe_params, acc_params,
+        (args.frames, args.batch, args.size, args.size, 3),
+        platforms=platforms,
+    )
+    save_artifact(exported, args.out)
+    import os
+
+    print(f"exported {args.out} ({os.path.getsize(args.out) / 1e6:.1f} MB, "
+          f"platforms {exported.platforms})")
+
+
+if __name__ == "__main__":
+    main()

@@ -252,3 +252,41 @@ def test_reference_noise_quirk():
     assert 0.4 < frac_floor < 0.6
     # Positive lobe survives (stdv ~ U[0,5) of 255 is small but nonzero).
     assert float(noise.max()) > -1.0
+
+
+def test_serving_export_roundtrip(tmp_path, rng):
+    """Export the serving pipeline via jax.export, reload the artifact
+    from disk, and check the flows match direct execution bit-for-bit."""
+    import jax
+    import jax.numpy as jnp
+
+    from accflow_tpu.models import build_flow_estimator
+    from accflow_tpu.models.accflow import AccFlowConfig, init_accflow
+    from accflow_tpu.serving import (
+        build_serving_fn,
+        export_serving,
+        load_artifact,
+        save_artifact,
+    )
+
+    est = build_flow_estimator("raft", compute_dtype="float32", iters=2)
+    acfg = AccFlowConfig(compute_dtype="float32")
+    ofe_params = est.init(jax.random.PRNGKey(0))
+    acc_params = init_accflow(jax.random.PRNGKey(1), acfg)
+
+    shape = (4, 1, 64, 64, 3)
+    images = jnp.asarray(rng.uniform(-1, 1, shape).astype(np.float32))
+    ref = np.asarray(
+        jax.jit(build_serving_fn(est, acfg, ofe_params, acc_params))(images)
+    )
+
+    exported = export_serving(est, acfg, ofe_params, acc_params, shape)
+    path = str(tmp_path / "acc_raft.sflow")
+    save_artifact(exported, path)
+    import os
+
+    assert os.path.getsize(path) > 1_000_000  # weights baked in
+    fn = load_artifact(path)
+    out = np.asarray(fn(images))
+    assert out.shape == (2, 1, 64, 64, 2)
+    np.testing.assert_array_equal(out, ref)
