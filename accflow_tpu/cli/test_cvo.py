@@ -22,6 +22,10 @@ def main(argv=None):
     parser.add_argument("--ofe_ckpt", type=str, default=None)
     parser.add_argument("--dataset-root", type=str, default="./data/cvor")
     parser.add_argument("--batch", type=int, default=10)
+    parser.add_argument("--micro_batch", type=int, default=None,
+                        help="per-compiled-call sub-batch (default: largest "
+                        "divisor of batch <= 8 — batch 10 at 512^2 OOMs one "
+                        "16 GB chip); metrics still aggregate per --batch")
     parser.add_argument("--end", type=int, default=6)
     parser.add_argument("--iters", type=int, default=12)
     parser.add_argument("--compute-dtype", type=str, default="bfloat16")
@@ -66,6 +70,7 @@ def main(argv=None):
         compute_dtype=args.compute_dtype,
         warm_start=args.warm_start,
         corr_lookup=args.corr_lookup,
+        micro_batch=args.micro_batch,
     )
 
 

@@ -60,10 +60,18 @@ def evaluate_cvo(
     frames: int = 7,
     warm_start: bool = False,
     corr_lookup: str = "fused",
+    micro_batch: Optional[int] = None,
 ):
     """Run the CVO-{end} protocol. model_name: e.g. "direct|raft",
     "acc|gma" (test_cvo.py:118). Params may be passed directly (tests) or
     converted from .pth checkpoints. Returns dict of mean EPEs.
+
+    micro_batch: per-device-call sub-batch. The reference's eval batch of
+    10 at 512^2 needs ~17 GB of HBM for the f32 correlation volumes
+    (XLA's lane padding included) and OOMs a 16 GB v5e, so batches are
+    split into equal micro-batches for the compiled call while the
+    METRIC aggregation still follows `batch` exactly. Default: the
+    largest divisor of `batch` that is <= 8 (measured to fit at 512^2).
 
     warm_start=True threads ops/warmstart.py inits across consecutive
     pairs — the reference README's TODO (/root/reference/README.md:11):
@@ -137,17 +145,29 @@ def evaluate_cvo(
     dst = fetch_valid_dataset(dataset_root, ["fflows", "bflows"], split=split)
     it = BatchIterator(dst, batch, shuffle=False, drop_last=False)
 
+    if micro_batch is None:
+        micro_batch = (
+            batch if batch <= 8
+            else max(d for d in range(1, 9) if batch % d == 0)
+        )
+    micro_batch = max(1, min(micro_batch, batch))
+
     alls, occs, viss = [], [], []
     for b in device_prefetch(iter(it), depth=2):
         # Pad the trailing partial batch (CVO-test: 536 % 10) so every
         # batch hits the ONE compiled shape; aggregate true counts only.
         b, n_valid = pad_batch(b, batch)
-        epe_all, epe_occ, epe_vis = eval_batch(
-            params, acc_params, b["imgs"], b["bflows"], b["fflows"]
-        )
-        alls.append(np.asarray(epe_all)[:n_valid])
-        occs.append(np.asarray(epe_occ)[:n_valid])
-        viss.append(np.asarray(epe_vis)[:n_valid])
+        for m0 in range(0, batch, micro_batch):
+            if m0 >= n_valid:
+                break
+            mb = {k: v[m0 : m0 + micro_batch] for k, v in b.items()}
+            epe_all, epe_occ, epe_vis = eval_batch(
+                params, acc_params, mb["imgs"], mb["bflows"], mb["fflows"]
+            )
+            nv = min(n_valid - m0, micro_batch)
+            alls.append(np.asarray(epe_all)[:nv])
+            occs.append(np.asarray(epe_occ)[:nv])
+            viss.append(np.asarray(epe_vis)[:nv])
 
     result = {
         "all": float(np.mean(np.concatenate(alls))),

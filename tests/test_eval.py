@@ -52,3 +52,25 @@ def test_evaluate_direct_gma(tmp_path, monkeypatch):
     assert set(res) == {"all", "occ", "vis"}
     assert all(np.isfinite(v) for v in res.values())
     assert osp.exists(tmp_path / "test_result_final_E6.txt")
+
+
+@pytest.mark.slow
+def test_evaluate_micro_batch_matches_full(tmp_path, monkeypatch):
+    """micro_batch splitting is metric-exact: batch 4 evaluated in
+    micro-batches of 2 == one compiled call of 4. (The reference's eval
+    batch of 10 at 512^2 OOMs one 16 GB chip; the default micro_batch
+    heuristic splits it 5+5.)"""
+    root = str(tmp_path / "cvor")
+    write_synthetic_cvor(root, num_train=1, num_test=5, h=64, w=64)
+    monkeypatch.chdir(tmp_path)
+
+    full = evaluate_cvo(
+        "direct|raft", root, split="clean", batch=4, iters=2,
+        compute_dtype="float32",
+    )
+    micro = evaluate_cvo(
+        "direct|raft", root, split="clean", batch=4, iters=2,
+        compute_dtype="float32", micro_batch=2,
+    )
+    for k in ("all", "occ", "vis"):
+        np.testing.assert_allclose(micro[k], full[k], rtol=1e-6, atol=1e-6)
