@@ -148,15 +148,15 @@ def sintel_dir(tmp_path):
     return str(root)
 
 
-@pytest.mark.parametrize("mode", ["direct", "acc"])
+@pytest.mark.parametrize("mode", ["direct|raft", "acc|raft", "acc|gma"])
 def test_evaluate_sintel_synthetic(sintel_dir, mode):
     """evaluate_sintel over the synthetic fixture: loader semantics
-    (subsampling, resize), padder round-trip, both model modes, finite
-    metrics."""
+    (subsampling, resize), padder round-trip, both model modes and both
+    estimators, finite metrics."""
     from accflow_tpu.train.evaluate import evaluate_sintel
 
     result = evaluate_sintel(
-        f"{mode}|raft",
+        mode,
         sintel_dir,
         interv=2,  # 5 frames -> T=3 (acc needs >= 3)
         iters=2,
