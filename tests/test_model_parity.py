@@ -386,3 +386,32 @@ def test_evaluate_cvo_loads_pth_checkpoints(tmp_path):
         result_file=str(tmp_path / "res.txt"),
     )
     assert all(np.isfinite(v) for v in r2.values())
+
+
+def test_convert_ckpt_cli_roundtrip(tmp_path):
+    """cli/convert_ckpt end-to-end: a saved torch RAFT .pth converts to
+    .npz whose reloaded tree matches the direct converter output."""
+    import argparse
+    from networks.raft.raft import RAFT
+
+    from accflow_tpu.cli.convert_ckpt import main as convert_main
+    from accflow_tpu.convert.store import load_params
+    from accflow_tpu.convert.torch_weights import convert_state_dict
+    from accflow_tpu.models.raft import RAFTConfig, init_raft
+
+    torch.manual_seed(2)
+    model = RAFT(argparse.Namespace(small=False, mixed_precision=False)).eval()
+    pth = str(tmp_path / "raft-test.pth")
+    torch.save(model.state_dict(), pth)
+
+    out = str(tmp_path / "raft-test.npz")
+    convert_main(["--pth", pth, "--model", "raft", "--out", out])
+
+    loaded = load_params(out)
+    template = init_raft(jax.random.PRNGKey(0), RAFTConfig())
+    direct = convert_state_dict(template, model.state_dict())
+    flat_l = jax.tree_util.tree_leaves_with_path(loaded)
+    flat_d = dict(jax.tree_util.tree_leaves_with_path(direct))
+    assert len(flat_l) == len(flat_d)
+    for path, leaf in flat_l:
+        np.testing.assert_array_equal(np.asarray(leaf), np.asarray(flat_d[path]))
