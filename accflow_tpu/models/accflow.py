@@ -73,6 +73,11 @@ class AccFlowConfig:
     # Requires a flow_init-capable ofe (FlowEstimator.flow_fn) and forces
     # the stepwise path (the queries become sequentially dependent).
     warm_start: bool = False
+    # Accumulation direction: "backward" (the paper's FN0 model — flow
+    # frame i -> frame 0) or "forward" (the F0N ablation — flow frame 0 ->
+    # frame i; see _accflow_forward_f0n). The reference ships the forward
+    # direction only as broken legacy code (networks/AccPlus_forward.py).
+    direction: str = "backward"
 
 
 # ---------------------------------------------------------------------------
@@ -341,6 +346,74 @@ def _accflow_forward_warmstart(
     return jnp.stack(outs, axis=0)
 
 
+def _accflow_forward_f0n(
+    params: Params,
+    ofe: OfeFn,
+    images: jnp.ndarray,
+    cfg: AccFlowConfig,
+) -> jnp.ndarray:
+    """Forward accumulation (F0N): [F_{0,2}, ..., F_{0,T-1}].
+
+    The reference ships this direction only as dead legacy code
+    (networks/AccPlus_forward.py:109-143 — broken upstream: it imports the
+    missing networks/raft/softsplat module and calls `ofe(...,
+    return_emap=True)`, a signature today's estimators lack; its
+    separately-trained weights were never released). This TPU-native
+    counterpart reuses the ACTIVE AccFlow cell with source/target roles
+    swapped instead of resurrecting that architecture:
+
+      forward composition  F_{0,i}(x) = F_{0,i-1}(x)
+                                        + f_{i-1,i}(x + F_{0,i-1}(x))
+
+    samples the LOCAL flow at positions displaced by the carry, so here the
+    deformable conv warps the encoded local flow f_{i-1,i} with offsets
+    conditioned on the encoded carry F_{0,i-1} — the mirror image of the
+    backward cell, which warps the carry by the local flow. Slot mapping
+    into _cell_modules: dflow<-carry (occlusion of the carry between c_0
+    and c_{i-1}), F2n<-local (the deform-warped operand), flow_ini<-direct
+    OFE flow 0->i (the blending alternative), I1<-frame 0 (the output
+    grid), I2<-frame i-1, In<-frame i.
+
+    For T=3 this is EXACTLY backward accumulation on the reversed clip
+    (same cell call; tested); for T>3 it yields all [F_{0,i}] in one pass,
+    which the reversed-clip trick cannot. Like upstream's ablation it
+    needs its own training run — backward-trained weights are
+    shape-compatible but role-swapped.
+    """
+    t = images.shape[0]
+    I0 = images[0]
+
+    # First step (i=2): OFE also seeds the carry F_{0,1}.
+    flows = ofe(
+        jnp.concatenate([I0, I0, images[1]], axis=0),
+        jnp.concatenate([images[1], images[2], images[2]], axis=0),
+    )
+    flows = lax.stop_gradient(downflow8(flows))
+    seed, direct, local = jnp.split(flows, 3, axis=0)
+    carry, out0 = _cell_modules(
+        params, seed, direct, local, I0, images[1], images[2], cfg
+    )
+
+    if t == 3:
+        return out0[None]
+
+    def step(carry, frames):
+        I2, In = frames  # frames i-1, i
+        carry = lax.stop_gradient(carry)
+        flows = ofe(
+            jnp.concatenate([I0, I2], axis=0),
+            jnp.concatenate([In, In], axis=0),
+        )
+        flows = lax.stop_gradient(downflow8(flows))
+        direct, local = jnp.split(flows, 2, axis=0)
+        carry, out = _cell_modules(params, carry, direct, local, I0, I2, In, cfg)
+        return carry, out
+
+    xs = (images[2:-1], images[3:])
+    _, outs = lax.scan(step, carry, xs)
+    return jnp.concatenate([out0[None], outs], axis=0)
+
+
 def _accflow_forward_fused(
     params: Params,
     ofe: OfeFn,
@@ -443,11 +516,20 @@ def accflow_forward(
     (frames, src_idx, dst_idx) -> (P*N, H, W, 2) flows with deduplicated
     frame encoding (FlowEstimator.pairs_fn); used by the fused path.
     Returns (T-2, N, H, W, 2) float32: [F_{2,0}, ..., F_{T-1,0}] at full
-    resolution (AccFlow_.py:157-175 collects the same list).
+    resolution (AccFlow_.py:157-175 collects the same list); with
+    cfg.direction="forward", [F_{0,2}, ..., F_{0,T-1}] instead (the F0N
+    ablation — see _accflow_forward_f0n).
     """
     t = images.shape[0]
     if t < 3:
         raise ValueError("AccFlow needs at least 3 frames")
+
+    if cfg.direction == "forward":
+        if cfg.warm_start:
+            raise ValueError("warm_start is a backward-direction feature")
+        return _accflow_forward_f0n(params, ofe, images, cfg)
+    if cfg.direction != "backward":
+        raise ValueError(f"unknown accumulation direction: {cfg.direction!r}")
 
     if cfg.warm_start:
         return _accflow_forward_warmstart(params, ofe, images, cfg)

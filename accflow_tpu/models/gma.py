@@ -41,6 +41,7 @@ from accflow_tpu.models.raft import (
     init_flow_head,
     init_sep_conv_gru,
     make_fused_sep_gru,
+    mask_head_s_major,
     sep_conv_gru,
     upsample_mask,
 )
@@ -302,6 +303,8 @@ def gma_iterate(
 
     ub = params["update_block"]
     gru_step = make_fused_sep_gru(ub["gru"], inp, cfg.hidden_dim)
+    # s-major mask head, permuted once outside the scan (see mask_head_s_major).
+    w2s = mask_head_s_major(ub)
 
     pf_ops = pf_plan = None
     lookup_impl = cfg.corr_lookup
@@ -328,7 +331,9 @@ def gma_iterate(
         coords1 = lax.stop_gradient(coords1)
         flow = coords1 - coords0
         if lookup_impl == "pallas_fused":
-            corr = lookup_corr_fused(pf_ops, pf_plan, coords1, cfg.corr_radius)
+            corr = lookup_corr_fused(
+                pf_ops, pf_plan, coords1, cfg.corr_radius, stream_dtype=cd
+            )
             motion = basic_motion_encoder(
                 ub["encoder"], flow.astype(cd), corr.astype(cd)
             )
@@ -388,7 +393,7 @@ def gma_iterate(
         motion_global = aggregate(ub["aggregator"], attn, motion, cfg)
         net = gru_step(net, jnp.concatenate([motion, motion_global], axis=-1))
         delta = flow_head(ub["flow_head"], net)
-        mask = upsample_mask(ub, net, s_major=True) if not final_only else None
+        mask = upsample_mask(ub, net, w2=w2s) if not final_only else None
         coords1 = coords1 + delta.astype(jnp.float32)
         if final_only:
             return (net, coords1), None
@@ -398,7 +403,7 @@ def gma_iterate(
     (net, coords1), flows_up = lax.scan(step, (net, coords1), None, length=iters)
 
     if final_only:
-        mask = upsample_mask(params["update_block"], net, s_major=True)
+        mask = upsample_mask(params["update_block"], net, w2=w2s)
         flow_up = convex_upsample(coords1 - coords0, mask, s_major=True)
         return {"flow_up": flow_up, "flow_low": coords1 - coords0}
 

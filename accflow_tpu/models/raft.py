@@ -316,20 +316,27 @@ def init_basic_update_block(key: jax.Array, cfg: RAFTConfig, hidden_dim: int = 1
     }
 
 
-def upsample_mask(p: Params, net, s_major: bool = False) -> jnp.ndarray:
+def mask_head_s_major(p: Params) -> Params:
+    """Permute the mask head's final conv output channels into the
+    (sub-pixel, tap) layout that convex_upsample(s_major=True) consumes
+    without the whole-mask swapaxes relayout. A 576-wide weight gather —
+    call ONCE outside the GRU scan (XLA's loop-invariant hoisting across
+    scan bodies is not guaranteed) and pass the result to upsample_mask.
+    Parameters stay in the canonical checkpoint layout."""
+    from accflow_tpu.ops.upsample import mask_s_major_perm
+
+    w2 = p["mask"]["2"]
+    perm = jnp.asarray(mask_s_major_perm(w2["b"].shape[0]))
+    return {"w": jnp.take(w2["w"], perm, axis=-1), "b": jnp.take(w2["b"], perm)}
+
+
+def upsample_mask(p: Params, net, s_major: bool = False, w2: Optional[Params] = None) -> jnp.ndarray:
     """0.25-scaled convex-upsampling mask head (update.py:122-125,135).
 
-    s_major=True permutes the final conv's output channels (free: a 576-wide
-    weight gather at trace time) so the mask comes out in the (sub-pixel,
-    tap) layout that convex_upsample(s_major=True) consumes without the
-    whole-mask swapaxes relayout. Parameters stay in the canonical
-    checkpoint layout."""
-    w2 = p["mask"]["2"]
-    if s_major:
-        from accflow_tpu.ops.upsample import mask_s_major_perm
-
-        perm = jnp.asarray(mask_s_major_perm(w2["b"].shape[0]))
-        w2 = {"w": jnp.take(w2["w"], perm, axis=-1), "b": jnp.take(w2["b"], perm)}
+    s_major=True permutes the final conv's channels via mask_head_s_major;
+    pass a precomputed `w2` when calling inside a scan body."""
+    if w2 is None:
+        w2 = mask_head_s_major(p) if s_major else p["mask"]["2"]
     return 0.25 * conv2d(w2, relu(conv2d(p["mask"]["0"], net)), padding=0)
 
 
@@ -477,6 +484,8 @@ def raft_iterate(
     gru_step = (
         None if cfg.small else make_fused_sep_gru(ub["gru"], inp, cfg.hidden_dim)
     )
+    # s-major mask head, permuted once outside the scan (see mask_head_s_major).
+    w2s = None if cfg.small else mask_head_s_major(ub)
 
     pf_ops = pf_plan = None
     lookup_impl = cfg.corr_lookup
@@ -522,7 +531,9 @@ def raft_iterate(
             )
         else:
             if lookup_impl == "pallas_fused":
-                corr = lookup_corr_fused(pf_ops, pf_plan, coords1, cfg.radius)
+                corr = lookup_corr_fused(
+                    pf_ops, pf_plan, coords1, cfg.radius, stream_dtype=cd
+                )
                 motion = basic_motion_encoder(
                     ub["encoder"], flow.astype(cd), corr.astype(cd)
                 )
@@ -586,7 +597,7 @@ def raft_iterate(
                 )
             net = gru_step(net, motion)
             delta = flow_head(ub["flow_head"], net)
-            mask = upsample_mask(ub, net, s_major=True) if not final_only else None
+            mask = upsample_mask(ub, net, w2=w2s) if not final_only else None
         coords1 = coords1 + delta.astype(jnp.float32)
         if final_only:
             return (net, coords1), None
@@ -602,7 +613,7 @@ def raft_iterate(
         if cfg.small:
             flow_up = upflow8(coords1 - coords0)
         else:
-            mask = upsample_mask(params["update_block"], net, s_major=True)
+            mask = upsample_mask(params["update_block"], net, w2=w2s)
             flow_up = convex_upsample(coords1 - coords0, mask, s_major=True)
         return {"flow_up": flow_up, "flow_low": coords1 - coords0}
 

@@ -283,8 +283,24 @@ def lookup(
     if impl == "mm":
         return lookup_corr(pyramid, coords, radius, precision)
     if impl == "pallas_fused":
-        from accflow_tpu.ops.corr_pallas import lookup_corr_fused_from_pyramid
+        from accflow_tpu.ops.corr_pallas import (
+            fused_lookup_supported,
+            lookup_corr_fused_from_pyramid,
+        )
 
+        if jax.default_backend() == "tpu" and not fused_lookup_supported(
+            pyramid, radius
+        ):
+            # Tiny pyramid levels violate Mosaic's shape-cast rule (see
+            # fused_lookup_supported); fall back like the model paths do
+            # instead of failing deep inside the kernel.
+            import warnings
+
+            warnings.warn(
+                "pallas_fused lookup unsupported for this pyramid shape on "
+                "TPU; falling back to the XLA 'mm' lookup."
+            )
+            return lookup_corr(pyramid, coords, radius, precision)
         # precision=highest (f32 parity paths) -> stream f32; default ->
         # bf16 (what the serving path quantizes to anyway).
         stream = jnp.float32 if precision == "highest" else jnp.bfloat16

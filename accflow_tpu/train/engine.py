@@ -159,10 +159,16 @@ def save_flow_png(flow_nhwc: np.ndarray, path: str) -> None:
     Image.fromarray(flow_to_image(np.asarray(flow_nhwc[0]))).save(path)
 
 
-def train_acc(opt, max_steps: int | None = None):
+def train_acc(opt, max_steps: int | None = None, tb=None):
     """Train the AccFlow accumulator. `opt` mirrors configs/Acc*.yml plus
     `dataset_root` (CVOR data) and optional `ofe_params`/`flow_pretrained`.
-    max_steps truncates for smoke tests. Returns the final TrainState."""
+    max_steps truncates for smoke tests. Returns the final TrainState.
+
+    tb: optional utils.tb.TBLogger — receives train/{loss,epe,lr} at every
+    log point and val/epe at every validation (the reference ships the same
+    wrapper but leaves it commented out, utils/util.py:156-172 /
+    train_acc.py:127; pass `use_tb: true` in opt to construct one on
+    log_dir)."""
     maybe_init_distributed()  # multi-host no-op unless env-triggered
     mesh = make_mesh()
     n_dev = mesh.devices.size
@@ -181,6 +187,11 @@ def train_acc(opt, max_steps: int | None = None):
                 os.rename(d, d + "_archived_" + get_timestamp())
     os.makedirs(log_dir, exist_ok=True)
     logger = setup_logger("accflow", log_dir, "train_" + opt.exp_name, tofile=True)
+    own_tb = tb is None and bool(opt.get("use_tb"))
+    if own_tb:
+        from accflow_tpu.utils.tb import TBLogger
+
+        tb = TBLogger(osp.join(log_dir, "tb"))
 
     train_dst = fetch_train_dataset(
         opt.dataset_root, ["bflows"], crop_size=opt.image_size, split="clean+final"
@@ -267,16 +278,25 @@ def train_acc(opt, max_steps: int | None = None):
             if current_step % opt.log_freq == 0 or current_step < 25:
                 avg_time = timer.get_average_and_reset()
                 eta_h = avg_time * (num_steps - current_step) / 3600
+                avg_loss = sum(losses) / len(losses)
+                avg_epe = sum(epes) / len(epes)
+                lr_now = float(schedule(current_step))
                 logger.info(
                     "<epoch:%2d, iter:%6d, t:%.2fs, eta:%.2fh, loss:%.3f, epe:%.3f, lr:%.2e>",
-                    epoch, current_step, avg_time, eta_h,
-                    sum(losses) / len(losses), sum(epes) / len(epes),
-                    float(schedule(current_step)),
+                    epoch, current_step, avg_time, eta_h, avg_loss, avg_epe, lr_now,
                 )
+                if tb is not None:
+                    tb.write_dict(
+                        {"train/loss": avg_loss, "train/epe": avg_epe, "train/lr": lr_now},
+                        current_step,
+                    )
                 losses, epes = [], []
 
             if current_step % opt.valid_freq == 0 or current_step == num_steps - 1:
                 epes_sum, epes_n = 0.0, 0
+                # visual_samples indexes SAMPLES of the validation set
+                # (train_acc.py:283-289 dumps dataset sample i, not batch i).
+                visual = sorted(set(opt.get("visual_samples", [])))
                 val_last = {}
                 vit = BatchIterator(valid_dst, batch, shuffle=False, drop_last=False)
                 for vid, vb in enumerate(vit):
@@ -286,13 +306,18 @@ def train_acc(opt, max_steps: int | None = None):
                         state.params, ofe_params, vb["imgs"], vb["bflows"]
                     )
                     epes_sum += float(np.asarray(per_sample)[:n_valid].sum())
+                    base = epes_n
                     epes_n += n_valid
-                    val_last[vid] = np.asarray(flow_last)
+                    want = [i for i in visual if base <= i < base + n_valid]
+                    if want:
+                        flow_np = np.asarray(flow_last)
+                        for i in want:
+                            val_last[i] = flow_np[i - base : i - base + 1]
                 epe = epes_sum / max(epes_n, 1)
                 ckpt.save(current_step, state)  # `latest` (train_acc.py:268)
                 if epe <= best_val_epe:
                     best_val_epe, best_val_step = epe, current_step
-                    for index in opt.get("visual_samples", []):
+                    for index in visual:
                         if index in val_last:
                             save_flow_png(
                                 val_last[index],
@@ -305,6 +330,8 @@ def train_acc(opt, max_steps: int | None = None):
                     "Validation EPE: %.3f, best: %.3f (step %d)",
                     epe, best_val_epe, best_val_step,
                 )
+                if tb is not None:
+                    tb.write_dict({"val/epe": epe}, current_step)
 
             if max_steps is not None and current_step >= max_steps:
                 stop = True
@@ -312,5 +339,7 @@ def train_acc(opt, max_steps: int | None = None):
 
     ckpt.save_final(max(current_step, 1), state)  # final.pth (train_acc.py:311)
     ckpt.close()
+    if own_tb:
+        tb.close()
     logger.info("Finish training")
     return state

@@ -151,6 +151,11 @@ def evaluate_cvo(
             else max(d for d in range(1, 9) if batch % d == 0)
         )
     micro_batch = max(1, min(micro_batch, batch))
+    # Round a user-supplied non-divisor down to the largest divisor of
+    # `batch` so every micro-batch hits the ONE compiled shape (a ragged
+    # trailing slice would cost an extra jit compile).
+    while batch % micro_batch:
+        micro_batch -= 1
 
     alls, occs, viss = [], [], []
     for b in device_prefetch(iter(it), depth=2):

@@ -128,9 +128,12 @@ def run_validation(valid_step, state_params, valid_dst, batch, in_shard, valid_s
     return epes_sum / max(epes_n, 1), epes_n
 
 
-def fine_tune(opt, max_steps: int | None = None):
+def fine_tune(opt, max_steps: int | None = None, tb=None):
     """Fine-tune RAFT/GMA on CVO. opt mirrors configs/{RAFT,GMA}.yml plus
-    dataset_root. Returns the final TrainState."""
+    dataset_root. Returns the final TrainState.
+
+    tb: optional utils.tb.TBLogger (train/{loss,epe,lr} + val/epe scalars;
+    `use_tb: true` in opt constructs one on log_dir)."""
     maybe_init_distributed()  # multi-host no-op unless env-triggered
     mesh = make_mesh()
     n_dev = mesh.devices.size
@@ -150,6 +153,11 @@ def fine_tune(opt, max_steps: int | None = None):
                 os.rename(d, d + "_archived_" + get_timestamp())
     os.makedirs(log_dir, exist_ok=True)
     logger = setup_logger("accflow_ft", log_dir, "finetune_" + opt.exp_name, tofile=True)
+    own_tb = tb is None and bool(opt.get("use_tb"))
+    if own_tb:
+        from accflow_tpu.utils.tb import TBLogger
+
+        tb = TBLogger(osp.join(log_dir, "tb"))
 
     train_dst = fetch_train_dataset(
         opt.dataset_root, ALL_FLOW_KEYS, crop_size=opt.image_size, split="clean+final"
@@ -227,12 +235,18 @@ def fine_tune(opt, max_steps: int | None = None):
 
             if current_step % opt.log_freq == 0 or current_step < 25:
                 avg_time = timer.get_average_and_reset()
+                avg_loss = sum(losses) / len(losses)
+                avg_epe = sum(epes) / len(epes)
+                lr_now = float(schedule(current_step))
                 logger.info(
                     "<epoch:%2d, iter:%6d, t:%.2fs, loss:%.3f, epe:%.3f, lr:%.2e>",
-                    epoch, current_step, avg_time,
-                    sum(losses) / len(losses), sum(epes) / len(epes),
-                    float(schedule(current_step)),
+                    epoch, current_step, avg_time, avg_loss, avg_epe, lr_now,
                 )
+                if tb is not None:
+                    tb.write_dict(
+                        {"train/loss": avg_loss, "train/epe": avg_epe, "train/lr": lr_now},
+                        current_step,
+                    )
                 losses, epes = [], []
 
             if current_step % opt.valid_freq == 0 or current_step == num_steps - 1:
@@ -248,6 +262,8 @@ def fine_tune(opt, max_steps: int | None = None):
                     "Validation EPE: %.3f, best: %.3f (step %d)",
                     epe, best_val_epe, best_val_step,
                 )
+                if tb is not None:
+                    tb.write_dict({"val/epe": epe}, current_step)
 
             if max_steps is not None and current_step >= max_steps:
                 stop = True
@@ -255,5 +271,7 @@ def fine_tune(opt, max_steps: int | None = None):
 
     ckpt.save_final(max(current_step, 1), state)
     ckpt.close()
+    if own_tb:
+        tb.close()
     logger.info("Finish fine-tuning")
     return state

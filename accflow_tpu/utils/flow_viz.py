@@ -4,6 +4,14 @@ Behavior-compatible with the reference's flow_to_image (utils/flow_viz.py,
 byte-identical copies also at networks/{raft,gma}/utils/flow_viz.py):
 55-entry RY/YG/GC/CB/BM/MR wheel, flow normalized by its maximum radius,
 bilinear interpolation between wheel spokes, out-of-range shown dimmed.
+
+Provenance: this constant-table algorithm follows the canonical Middlebury
+flow-color code of Baker et al. / Daniel Scharstein (C++) and Deqing Sun
+(MATLAB), as popularized by Tom Runia's MIT-licensed
+OpticalFlow_Visualization (github.com/tomrunia/OpticalFlow_Visualization),
+which is also what the reference vendors. Any correct implementation of the
+wheel is necessarily near-identical; this one is restyled (module-level
+wheel constant, modulo wrap, type hints) but algorithmically the same.
 """
 
 from __future__ import annotations

@@ -3,14 +3,26 @@
 The warm-start path (AccFlowConfig.warm_start — the reference README's
 own TODO, built in r2) advects the previous step's 1/8-res flows into the
 next frame's grid and hands them to the estimator as flow_init, so the
-GRU can converge in fewer iterations on video streams. This measures the
-throughput side of that trade on the CVO-6 serving shape:
+GRU can converge in fewer iterations on video streams. This measures BOTH
+sides of that trade on the CVO-6 serving shape:
 
   cold12   fused batched OFE, 12 iters (the bench.py protocol)
   coldN    same with fewer iterations (quality NOT protocol-equivalent)
   warmN    stepwise warm-started OFE at N iterations
 
-    python scripts/bench_stream.py
+    python scripts/bench_stream.py              # throughput table
+    QUALITY=1 python scripts/bench_stream.py    # + EPE-vs-cold evidence
+
+The quality section makes the README's "quality parity at reduced iters"
+claim carry its own evidence: it writes a synthetic CVOR set (exact
+constant-velocity GT, data/synthetic.py), fine-tunes RAFT on it and
+briefly trains the accumulator (so EPE reflects a converging model, not
+random init), then runs the CVO protocol (evaluate_cvo) for every
+(iters, warm) config with the SAME weights — only the iteration schedule
+differs — and prints EPE all + delta vs cold12.
+
+Env knobs: BENCH_BATCH, BENCH_SIZE, QUALITY, QUALITY_STEPS (default 300),
+QUALITY_SIZE (default 256), QUALITY_CLIPS (default 10).
 """
 
 import os
@@ -25,6 +37,89 @@ BATCH = int(os.environ.get("BENCH_BATCH", "2"))
 SIZE = int(os.environ.get("BENCH_SIZE", "512"))
 FRAMES = 7
 K = 4
+
+CONFIGS = (
+    ("cold12", 12, False),
+    ("cold6", 6, False),
+    ("warm12", 12, True),
+    ("warm6", 6, True),
+    ("warm4", 4, True),
+)
+
+
+def quality_table(root, ofe_params, acc_params, configs=CONFIGS, batch=2,
+                  compute_dtype="bfloat16", result_file=None):
+    """CVO-protocol EPE (evaluate_cvo, acc|raft path) for each
+    (name, iters, warm_start) config with shared weights. Returns
+    [{name, iters, warm, epe_all, epe_occ, epe_vis}, ...]."""
+    from accflow_tpu.train.evaluate import evaluate_cvo
+
+    rows = []
+    for name, iters, warm in configs:
+        r = evaluate_cvo(
+            "acc|raft", root, batch=batch, iters=iters,
+            params=ofe_params, acc_params=acc_params,
+            warm_start=warm, compute_dtype=compute_dtype,
+            result_file=result_file or os.devnull,
+        )
+        rows.append({
+            "name": name, "iters": iters, "warm": warm,
+            "epe_all": r["all"], "epe_occ": r["occ"], "epe_vis": r["vis"],
+        })
+    return rows
+
+
+def run_quality():
+    """Train-on-synthetic + EPE table (see module docstring)."""
+    import tempfile
+
+    from accflow_tpu.data.synthetic import write_synthetic_cvor
+    from accflow_tpu.train.engine import train_acc
+    from accflow_tpu.train.finetune import fine_tune
+    from accflow_tpu.utils.config import AttrDict
+
+    steps = int(os.environ.get("QUALITY_STEPS", "300"))
+    qsize = int(os.environ.get("QUALITY_SIZE", "256"))
+    clips = int(os.environ.get("QUALITY_CLIPS", "10"))
+
+    tmp = tempfile.mkdtemp(prefix="stream_quality_")
+    root = os.path.join(tmp, "cvor")
+    print(f"[quality] synthetic CVOR at {root} ({qsize}^2, {clips} test clips)")
+    num_train = max(4 * clips, 48)
+    write_synthetic_cvor(root, num_train=num_train, num_test=clips,
+                         h=qsize, w=qsize)
+
+    # Size epochs so the OneCycle schedule spans the steps actually run
+    # (stopping mid-warmup would leave the model barely trained).
+    spe = num_train // 6 + 1  # sample_per_epoch at batch 6 on one chip
+    common = dict(
+        dataset_root=root, batch_per_gpu=6, image_size=[qsize, qsize],
+        lr=2e-4, wdecay=1e-5, epsilon=1e-8, clip=1.0,
+        epochs=max(1, round(steps / spe)),
+        add_noise=False, log_freq=50, valid_freq=10**9, seed=0,
+        log_dir=os.path.join(tmp, "logs"), ckpt_dir=os.path.join(tmp, "ckpt"),
+    )
+    print(f"[quality] fine-tuning RAFT for {steps} steps on synthetic data")
+    ft = fine_tune(AttrDict(dict(common, exp_name="RAFT-synth",
+                                 log_dir=os.path.join(tmp, "logs_ft"),
+                                 ckpt_dir=os.path.join(tmp, "ckpt_ft"))),
+                   max_steps=steps)
+    ofe_params = ft.params
+    print(f"[quality] training accumulator for {steps} steps")
+    ta = train_acc(AttrDict(dict(common, exp_name="Acc+RAFT-synth",
+                                 ofe_params=ofe_params)),
+                   max_steps=steps)
+    acc_params = ta.params
+
+    rows = quality_table(root, ofe_params, acc_params, batch=min(2, clips))
+    base = rows[0]["epe_all"]
+    print(f"\n{'config':8s} {'iters':>5s} {'EPE all':>8s} {'d vs cold12':>11s} "
+          f"{'EPE occ':>8s} {'EPE vis':>8s}")
+    for r in rows:
+        print(f"{r['name']:8s} {r['iters']:5d} {r['epe_all']:8.3f} "
+              f"{r['epe_all'] - base:+11.3f} {r['epe_occ']:8.3f} "
+              f"{r['epe_vis']:8.3f}", flush=True)
+    return rows
 
 
 def main():
@@ -75,16 +170,13 @@ def main():
         t2 = time.perf_counter()
         return max((t2 - t1) - (t1 - t0), 1e-9) / K / BATCH
 
-    for name, iters, warm in (
-        ("cold12", 12, False),
-        ("cold6", 6, False),
-        ("warm12", 12, True),
-        ("warm6", 6, True),
-        ("warm4", 4, True),
-    ):
+    for name, iters, warm in CONFIGS:
         t = clip_time(iters, warm)
         print(f"{name:8s} {t*1e3:8.1f} ms/clip  ({FRAMES/t:6.1f} frames/s)",
               flush=True)
+
+    if os.environ.get("QUALITY", "0") == "1":
+        run_quality()
 
 
 if __name__ == "__main__":

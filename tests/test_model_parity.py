@@ -182,6 +182,78 @@ def test_accflow_parity():
         np.testing.assert_allclose(ours, _np(ref), rtol=2e-3, atol=2e-2)
 
 
+def test_accflow_gma_parity(tmp_path):
+    """AccFlow wrapping RAFTGMA (the acc+gma-{things,cvo}.pth released
+    checkpoints' path: /root/reference/networks/AccFlow_.py:145 with
+    networks/gma/gma.py:14, built by test_cvo.py:11-21): torch-converted
+    weights, numerical output match, THEN an evaluate_cvo("acc|gma",
+    acc_ckpt=...) end-to-end smoke through the same converter branch."""
+    import argparse
+
+    from networks.AccFlow_ import AccFlow
+    from networks.gma.gma import RAFTGMA
+
+    from accflow_tpu.convert.torch_weights import (
+        convert_state_dict,
+        split_accflow_state,
+    )
+    from accflow_tpu.data.synthetic import write_synthetic_cvor
+    from accflow_tpu.models.accflow import (
+        AccFlowConfig,
+        accflow_forward,
+        init_accflow,
+    )
+    from accflow_tpu.models.gma import GMAConfig, gma_forward, init_gma
+    from accflow_tpu.train.evaluate import evaluate_cvo
+
+    torch.manual_seed(4)
+    ofe = RAFTGMA(
+        argparse.Namespace(
+            num_heads=1,
+            mixed_precision=False,
+            position_only=False,
+            position_and_content=False,
+        )
+    ).eval()
+    model = AccFlow(ofe).eval()
+    model.mixed_precision = False
+
+    rng = np.random.default_rng(13)
+    frames_np = rng.uniform(-1, 1, (4, 1, 3, 128, 128)).astype(np.float32)
+    frames_t = [torch.from_numpy(f) for f in frames_np]
+    with torch.no_grad():
+        ref_outs = model(images=frames_t, test_mode=False)
+
+    sd = model.state_dict()
+    ofe_sd, acc_sd = split_accflow_state(sd)
+
+    gcfg = GMAConfig(compute_dtype="float32", iters=12)
+    ofe_params = convert_state_dict(init_gma(jax.random.PRNGKey(0), gcfg), ofe_sd)
+    acfg = AccFlowConfig(compute_dtype="float32")
+    acc_params = convert_state_dict(init_accflow(jax.random.PRNGKey(1), acfg), acc_sd)
+
+    frames = jnp.asarray(np.moveaxis(frames_np, 2, -1))
+    ofe_fn = lambda a, b: gma_forward(ofe_params, a, b, gcfg)["flow_up"]
+    outs = accflow_forward(acc_params, ofe_fn, frames, acfg)
+
+    assert outs.shape[0] == len(ref_outs) == 2
+    for i, ref in enumerate(ref_outs):
+        ours = np.moveaxis(np.asarray(outs[i]), -1, 1)
+        np.testing.assert_allclose(ours, _np(ref), rtol=2e-3, atol=2e-2)
+
+    # End-to-end: the acc_ckpt converter branch with a GMA template
+    # (evaluate_cvo builds the GMA template itself from "acc|gma").
+    torch.save(sd, tmp_path / "acc_gma.pth")
+    root = str(tmp_path / "cvor")
+    write_synthetic_cvor(root, num_train=2, num_test=2, h=64, w=64)
+    r = evaluate_cvo(
+        "acc|gma", root, batch=2, iters=2,
+        acc_ckpt=str(tmp_path / "acc_gma.pth"), compute_dtype="float32",
+        result_file=str(tmp_path / "res.txt"),
+    )
+    assert all(np.isfinite(v) for v in r.values())
+
+
 def test_fused_equals_stepwise_and_final_only():
     """The fused-OFE accumulation path and final_only estimator mode are
     pure restructurings — outputs must match their reference-shaped
@@ -218,6 +290,54 @@ def test_fused_equals_stepwise_and_final_only():
     np.testing.assert_allclose(
         np.asarray(out_fused), np.asarray(out_step), rtol=1e-4, atol=1e-4
     )
+
+
+def test_accflow_forward_direction():
+    """direction="forward" (the F0N ablation, upstream's broken
+    networks/AccPlus_forward.py rebuilt on the active cell): at T=3 the
+    forward recursion is EXACTLY backward accumulation on the reversed
+    clip (identical cell call + identical OFE batching); at T=4 shapes."""
+    from accflow_tpu.models import build_flow_estimator
+    from accflow_tpu.models.accflow import (
+        AccFlowConfig,
+        accflow_forward,
+        init_accflow,
+    )
+
+    rng = np.random.default_rng(21)
+    est = build_flow_estimator("raft", compute_dtype="float32")
+    ofe_params = est.init(jax.random.PRNGKey(0))
+    acc_params = init_accflow(jax.random.PRNGKey(1), AccFlowConfig())
+    frames = jnp.asarray(
+        np.moveaxis(rng.uniform(-1, 1, (4, 1, 3, 128, 128)).astype(np.float32), 2, -1)
+    )
+    ofe_fn = lambda a, b: est.forward(ofe_params, a, b, iters=4, final_only=True)["flow_up"]
+
+    fwd3 = accflow_forward(
+        acc_params, ofe_fn, frames[:3],
+        AccFlowConfig(compute_dtype="float32", direction="forward"),
+    )
+    bwd3_rev = accflow_forward(
+        acc_params, ofe_fn, frames[:3][::-1],
+        AccFlowConfig(compute_dtype="float32", fused_ofe=False),
+    )
+    assert fwd3.shape == bwd3_rev.shape == (1, 1, 128, 128, 2)
+    np.testing.assert_allclose(
+        np.asarray(fwd3), np.asarray(bwd3_rev), rtol=1e-5, atol=1e-5
+    )
+
+    fwd4 = accflow_forward(
+        acc_params, ofe_fn, frames,
+        AccFlowConfig(compute_dtype="float32", direction="forward"),
+    )
+    assert fwd4.shape == (2, 1, 128, 128, 2)
+    assert np.isfinite(np.asarray(fwd4)).all()
+
+    with pytest.raises(ValueError):
+        accflow_forward(
+            acc_params, ofe_fn, frames,
+            AccFlowConfig(direction="forward", warm_start=True),
+        )
 
 
 def test_pairs_forward_equals_independent():

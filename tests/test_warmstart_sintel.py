@@ -120,6 +120,41 @@ def test_evaluate_sequence_warm_start():
     assert cold.shape == flows.shape
 
 
+def test_stream_quality_table(tmp_path):
+    """The streaming-quality harness (scripts/bench_stream.py::
+    quality_table) at toy scale: CVO-protocol EPE rows for cold/warm
+    configs with shared weights — correct schema, finite values. (The
+    on-TPU bench runs the same function after fine-tuning on synthetic
+    data; README "Streaming mode" carries its numbers.)"""
+    import os.path as osp
+    import sys
+
+    sys.path.insert(0, osp.join(osp.dirname(osp.dirname(osp.abspath(__file__)))))
+    from scripts.bench_stream import quality_table
+
+    from accflow_tpu.data.synthetic import write_synthetic_cvor
+    from accflow_tpu.models import build_flow_estimator
+    from accflow_tpu.models.accflow import AccFlowConfig, init_accflow
+
+    root = write_synthetic_cvor(
+        str(tmp_path / "cvor"), num_train=2, num_test=2, h=64, w=64
+    )
+    est = build_flow_estimator("raft", compute_dtype="float32")
+    ofe_params = est.init(jax.random.PRNGKey(0))
+    acc_params = init_accflow(
+        jax.random.PRNGKey(1), AccFlowConfig(compute_dtype="float32")
+    )
+    rows = quality_table(
+        root, ofe_params, acc_params,
+        configs=(("cold2", 2, False), ("warm2", 2, True)),
+        batch=2, compute_dtype="float32",
+        result_file=str(tmp_path / "res.txt"),
+    )
+    assert [r["name"] for r in rows] == ["cold2", "warm2"]
+    for r in rows:
+        assert np.isfinite([r["epe_all"], r["epe_occ"], r["epe_vis"]]).all()
+
+
 @pytest.fixture()
 def sintel_dir(tmp_path):
     """Synthetic High-Speed Sintel directory: one sample with 2_imgs/,
