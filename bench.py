@@ -7,11 +7,17 @@ clip 11 OFE pair-estimates (batched 3+2x4) + 5 accumulation-cell passes
 second per chip (clips/s * 7). bfloat16 compute, float32 flow state.
 
 vs_baseline: the reference publishes no numbers (BASELINE.md), so the
-denominator is an estimate of the PyTorch reference on its own 2-GPU-class
-hardware: RAFT@512^2/12iters ~ 60ms/pair on a modern CUDA GPU => ~11 batched
-pair-passes + 5 cells ~ 0.5s/clip => ~14 frames/s/GPU. Recorded here as
-REFERENCE_FRAMES_PER_SEC so the ratio is reproducible; replace with a
-measured number when reference hardware is available.
+denominator is DERIVED from the one citable published timing for this
+model family at this iteration count — the RAFT paper's 10 FPS at
+1088x436 / 12 iterations on a GTX 1080Ti (Teed & Deng, ECCV 2020,
+arXiv:2003.12039, "Timing and Parameter Counts") — scaled linearly in
+pixels to the CVO 512^2 protocol and through AccFlow's 11 OFE pair
+queries per 7-frame clip (AccFlow_.py:184-190: 3 + 2x4). The 5
+accumulation-cell passes are IGNORED (conservative, in the reference's
+favor), making the denominator an upper bound of what the PyTorch stack
+achieves per GPU of the class the family's numbers were published on.
+Full derivation: BASELINE.md "Reference throughput denominator".
+Replace with a measured number when reference hardware is available.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -23,7 +29,11 @@ import time
 
 import numpy as np
 
-REFERENCE_FRAMES_PER_SEC = 14.0
+# 10 fps @ 1088x436 (RAFT paper, 1080Ti, 12 iters) -> pair solves/s at
+# 512^2 -> 11 pair solves per 7-frame clip -> frames/s. See BASELINE.md.
+REFERENCE_FRAMES_PER_SEC = round(
+    10.0 * (1088 * 436) / (512 * 512) / 11 * 7, 2
+)  # = 11.52
 
 import os
 # BENCH_BATCH may be a single int or a comma list ("1,2,4") to sweep

@@ -129,6 +129,59 @@ def test_maybe_init_distributed_noop_and_env(monkeypatch):
 
 
 @pytest.mark.slow
+def test_two_process_distributed_train_step():
+    """REAL 2-process jax.distributed smoke (SURVEY.md §5.8): spawns two
+    CPU processes (2 local devices each -> 4 global) that initialize
+    through maybe_init_distributed's JAX_COORDINATOR_ADDRESS trigger,
+    build the GLOBAL mesh, run one sharded gradient step, and verify the
+    cross-process gradient psum against a single-process computation
+    (tests/_dist_child.py; Gloo collectives over localhost). Proves the
+    multi-host story beyond the monkeypatched unit test above."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(
+        os.environ,
+        JAX_COORDINATOR_ADDRESS=f"localhost:{port}",
+        JAX_NUM_PROCESSES="2",
+        XLA_FLAGS="--xla_force_host_platform_device_count=2",
+        JAX_PLATFORMS="cpu",
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(repo, "tests", "_dist_child.py")],
+            env=dict(env, JAX_PROCESS_ID=str(i)),
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            cwd=repo,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=540)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {i} failed:\n{out}"
+        assert "DIST_OK" in out, f"process {i} output:\n{out}"
+    # Engine-style device_put of the full host batch works across
+    # processes in this JAX (same-value semantics) — pinned here so a
+    # regression to shard-building APIs is caught.
+    assert "DIST_PATH device_put" in outs[0]
+
+
+@pytest.mark.slow
 def test_sharded_acc_train_step_matches_unsharded(cpu_devices):
     """ONE full accumulator training step (fwd + bwd + AdamW update) with
     the batch sharded over the 8-device data axis == unsharded execution:
