@@ -25,6 +25,9 @@ def main(argv=None):
     parser.add_argument("--iters", type=int, default=12)
     parser.add_argument("--compute-dtype", type=str, default="bfloat16")
     parser.add_argument("--result-file", type=str, default=None)
+    parser.add_argument("--batch", type=int, default=4,
+                        help="samples per compiled call (fixed resize -> "
+                        "one jit shape)")
     args = parser.parse_args(argv)
 
     from accflow_tpu.train.evaluate import evaluate_sintel
@@ -38,6 +41,7 @@ def main(argv=None):
         ofe_ckpt=args.ofe_ckpt,
         compute_dtype=args.compute_dtype,
         result_file=args.result_file,
+        batch=args.batch,
     )
 
 

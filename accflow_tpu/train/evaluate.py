@@ -228,6 +228,7 @@ def evaluate_sintel(
     blacklist=(),
     result_file: Optional[str] = None,
     size=(1024, 436),
+    batch: int = 4,
 ):
     """High-Speed Sintel evaluation over data/sintel.py (the reference
     ships the loader, data/dataset.py:164-236, but no engine — this is its
@@ -239,6 +240,11 @@ def evaluate_sintel(
     - "acc|...":    AccFlow accumulation over the REVERSED subsampled
                     sequence (AccFlow accumulates frame i -> frame 0, so
                     reversing makes the final output img0 -> img1).
+
+    The loader resizes every high-FPS sequence to the same `size`, so
+    samples are batched `batch` at a time into ONE compiled shape (the
+    trailing partial batch is padded by repetition and trimmed after);
+    metrics are per-sample exactly as before.
 
     Reports EPE all / occ / noc (Sintel convention) averaged over samples.
     """
@@ -285,23 +291,44 @@ def evaluate_sintel(
         data_root, interv=interv, blacklist=blacklist, size=size
     )
     alls, occs, nocs = [], [], []
+    padder = None
+    pend_frames: list = []  # per-sample (T, Hp, Wp, 3) padded clips
+    pend_meta: list = []  # per-sample (gt_flow, occ_bool)
+
+    def flush():
+        nonlocal pend_frames, pend_meta
+        if not pend_meta:
+            return
+        n_valid = len(pend_meta)
+        while len(pend_frames) < batch:  # pad the trailing partial batch
+            pend_frames.append(pend_frames[-1])
+        fb = jnp.asarray(np.stack(pend_frames, axis=1))  # (T, B, Hp, Wp, 3)
+        if use_acc:
+            flow = eval_acc(params, acc_params, fb[::-1])
+        else:
+            flow = eval_direct(params, fb[0], fb[-1])
+        flow = np.asarray(padder.unpad(flow))
+        for i, (gt, occ) in enumerate(pend_meta[:n_valid]):
+            epe = np.sqrt(((flow[i] - gt) ** 2).sum(-1))
+            alls.append(float(epe.mean()))
+            occs.append(float(epe[occ].mean()) if occ.any() else 0.0)
+            nocs.append(float(epe[~occ].mean()) if (~occ).any() else 0.0)
+        pend_frames, pend_meta = [], []
+
     for idx in range(len(dst)):
         sample = dst.get(idx)
         hs = np.stack(sample["hs_sintel_imgs"], axis=0)  # (T, H, W, 3)
         frames = jnp.asarray(2.0 * (hs[:, None] / 255.0) - 1.0, jnp.float32)
-        padder = InputPadder(frames.shape[-3:-1], mode="sintel")
+        if padder is None:
+            padder = InputPadder(frames.shape[-3:-1], mode="sintel")
         frames = jnp.stack([padder.pad(f)[0] for f in frames], axis=0)
-        if use_acc:
-            flow = eval_acc(params, acc_params, frames[::-1])
-        else:
-            flow = eval_direct(params, frames[0], frames[-1])
-        flow = np.asarray(padder.unpad(flow))[0]
-        gt = sample["gt_flow"]
-        occ = sample["occ_mask"][..., 0] > 0.5
-        epe = np.sqrt(((flow - gt) ** 2).sum(-1))
-        alls.append(float(epe.mean()))
-        occs.append(float(epe[occ].mean()) if occ.any() else 0.0)
-        nocs.append(float(epe[~occ].mean()) if (~occ).any() else 0.0)
+        pend_frames.append(np.asarray(frames[:, 0]))
+        pend_meta.append(
+            (sample["gt_flow"], sample["occ_mask"][..., 0] > 0.5)
+        )
+        if len(pend_meta) == batch:
+            flush()
+    flush()
 
     result = {
         "all": float(np.mean(alls)),

@@ -123,6 +123,10 @@ def run_quality():
 
 
 def main():
+    if os.environ.get("QUALITY", "0") == "1" and os.environ.get("QUALITY_ONLY"):
+        run_quality()
+        return
+
     import jax
     import jax.numpy as jnp
 

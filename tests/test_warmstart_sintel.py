@@ -157,29 +157,30 @@ def test_stream_quality_table(tmp_path):
 
 @pytest.fixture()
 def sintel_dir(tmp_path):
-    """Synthetic High-Speed Sintel directory: one sample with 2_imgs/,
-    43_imgs/ (5 frames), a .flo GT and an occlusion png."""
+    """Synthetic High-Speed Sintel directory: three samples, each with
+    2_imgs/, 43_imgs/ (5 frames), a .flo GT and an occlusion png."""
     cv2 = pytest.importorskip("cv2")
     from accflow_tpu.utils.frame_io import write_flow
 
     rng = np.random.default_rng(7)
     root = tmp_path / "hs_sintel"
-    sample = root / "alley_1_0000"
-    (sample / "2_imgs").mkdir(parents=True)
-    (sample / "43_imgs").mkdir()
     h, w = 32, 64
-    for i in range(2):
-        img = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
-        cv2.imwrite(str(sample / "2_imgs" / f"frame_{i}.png"), img)
-    for i in range(5):
-        img = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
-        cv2.imwrite(str(sample / "43_imgs" / f"frame_{i:02d}.png"), img)
-    write_flow(
-        str(sample / "flow.flo"),
-        rng.uniform(-2, 2, (h, w, 2)).astype(np.float32),
-    )
-    occ = (rng.uniform(size=(h, w)) > 0.7).astype(np.uint8) * 255
-    cv2.imwrite(str(sample / "occ.png"), np.repeat(occ[..., None], 3, -1))
+    for s in range(3):
+        sample = root / f"alley_1_{s:04d}"
+        (sample / "2_imgs").mkdir(parents=True)
+        (sample / "43_imgs").mkdir()
+        for i in range(2):
+            img = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+            cv2.imwrite(str(sample / "2_imgs" / f"frame_{i}.png"), img)
+        for i in range(5):
+            img = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+            cv2.imwrite(str(sample / "43_imgs" / f"frame_{i:02d}.png"), img)
+        write_flow(
+            str(sample / "flow.flo"),
+            rng.uniform(-2, 2, (h, w, 2)).astype(np.float32),
+        )
+        occ = (rng.uniform(size=(h, w)) > 0.7).astype(np.uint8) * 255
+        cv2.imwrite(str(sample / "occ.png"), np.repeat(occ[..., None], 3, -1))
     return str(root)
 
 
@@ -200,3 +201,22 @@ def test_evaluate_sintel_synthetic(sintel_dir, mode):
     )
     assert set(result) == {"all", "occ", "noc"}
     assert all(np.isfinite(v) for v in result.values())
+
+
+def test_evaluate_sintel_batched_equals_per_sample(sintel_dir):
+    """Sample batching (batch=2 over 3 samples: one full + one padded
+    partial batch) must reproduce the per-sample (batch=1) metrics —
+    instance norm is per-sample and the padding is trimmed."""
+    import jax
+
+    from accflow_tpu.models import build_flow_estimator
+    from accflow_tpu.train.evaluate import evaluate_sintel
+
+    est = build_flow_estimator("raft", compute_dtype="float32")
+    params = est.init(jax.random.PRNGKey(0))
+    kw = dict(interv=2, iters=2, compute_dtype="float32", size=(64, 32),
+              params=params)
+    r1 = evaluate_sintel("direct|raft", sintel_dir, batch=1, **kw)
+    r2 = evaluate_sintel("direct|raft", sintel_dir, batch=2, **kw)
+    for k in ("all", "occ", "noc"):
+        np.testing.assert_allclose(r2[k], r1[k], rtol=1e-5, atol=1e-5)
