@@ -295,3 +295,62 @@ def test_finetune_validation_caps_by_samples():
         in_shard=lambda b: b, valid_sample=500,
     )
     assert n == 30
+
+
+def test_train_acc_tb_and_visual_samples(tmp_path):
+    """TBLogger wiring + per-SAMPLE visual dumps (train_acc.py:283-289):
+    one training step with valid_freq=1 must (a) emit train/{loss,epe,lr}
+    and val/epe through a provided tb logger, and (b) dump flow PNGs for
+    the requested validation SAMPLE indices — including index 9, which
+    lives in the SECOND validation batch at offset 1 (batch-indexed code,
+    the round-2 bug, would miss it)."""
+    from accflow_tpu.data.synthetic import write_synthetic_cvor
+    from accflow_tpu.train.engine import train_acc
+    from accflow_tpu.utils.config import AttrDict
+
+    root = str(tmp_path / "cvor")
+    # 10 test clips at validation batch 8 (1/device x 8 virtual devices)
+    # -> two validation batches of true sizes 8 and 2.
+    write_synthetic_cvor(root, num_train=8, num_test=10, h=64, w=64)
+
+    class TBStub:
+        def __init__(self):
+            self.writes = []
+
+        def write_dict(self, scalars, step=None):
+            self.writes.append((dict(scalars), step))
+
+        def close(self):
+            pass
+
+    tb = TBStub()
+    opt = AttrDict(
+        exp_name="Acc+RAFT-tbtest",
+        epochs=1,
+        lr=1e-4,
+        wdecay=1e-5,
+        epsilon=1e-8,
+        compute_dtype="float32",
+        batch_per_gpu=1,
+        clip=1.0,
+        add_noise=False,
+        log_freq=1,
+        valid_freq=1,
+        image_size=64,
+        dataset_root=root,
+        log_dir=str(tmp_path / "logs"),
+        ckpt_dir=str(tmp_path / "ckpt"),
+        visual_samples=[0, 9],
+        resume=None,
+        seed=3,
+    )
+    train_acc(opt, max_steps=1, tb=tb)
+
+    keys = set().union(*(set(s) for s, _ in tb.writes))
+    assert {"train/loss", "train/epe", "train/lr", "val/epe"} <= keys
+
+    import glob
+
+    im0 = glob.glob(str(tmp_path / "logs" / "val" / "im000" / "*.png"))
+    im9 = glob.glob(str(tmp_path / "logs" / "val" / "im009" / "*.png"))
+    assert im0 and im9, (im0, im9)
