@@ -61,6 +61,7 @@ def evaluate_cvo(
     warm_start: bool = False,
     corr_lookup: str = "fused",
     micro_batch: Optional[int] = None,
+    data_parallel: bool = True,
 ):
     """Run the CVO-{end} protocol. model_name: e.g. "direct|raft",
     "acc|gma" (test_cvo.py:118). Params may be passed directly (tests) or
@@ -72,6 +73,12 @@ def evaluate_cvo(
     split into equal micro-batches for the compiled call while the
     METRIC aggregation still follows `batch` exactly. Default: the
     largest divisor of `batch` that is <= 8 (measured to fit at 512^2).
+
+    data_parallel: when more than one device is visible and micro_batch
+    divides the device count, each compiled call is SPMD batch-sharded
+    over the data mesh (params replicated, samples split — the serving
+    scale-out path; the reference's DataParallel equivalent at eval
+    time). Metrics are unchanged; a single chip is a no-op.
 
     warm_start=True threads ops/warmstart.py inits across consecutive
     pairs — the reference README's TODO (/root/reference/README.md:11):
@@ -157,6 +164,21 @@ def evaluate_cvo(
     while batch % micro_batch:
         micro_batch -= 1
 
+    shard_in = None
+    if data_parallel and len(jax.devices()) > 1:
+        from accflow_tpu.parallel.mesh import (
+            batch_sharding,
+            make_mesh,
+            shard_params,
+        )
+
+        mesh = make_mesh()
+        if micro_batch % mesh.devices.size == 0:
+            params = shard_params(mesh, params)
+            if acc_params is not None:
+                acc_params = shard_params(mesh, acc_params)
+            shard_in = lambda v: jax.device_put(v, batch_sharding(mesh, v.ndim))
+
     alls, occs, viss = [], [], []
     for b in device_prefetch(iter(it), depth=2):
         # Pad the trailing partial batch (CVO-test: 536 % 10) so every
@@ -166,6 +188,8 @@ def evaluate_cvo(
             if m0 >= n_valid:
                 break
             mb = {k: v[m0 : m0 + micro_batch] for k, v in b.items()}
+            if shard_in is not None:
+                mb = {k: shard_in(np.asarray(v)) for k, v in mb.items()}
             epe_all, epe_occ, epe_vis = eval_batch(
                 params, acc_params, mb["imgs"], mb["bflows"], mb["fflows"]
             )

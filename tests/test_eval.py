@@ -74,3 +74,20 @@ def test_evaluate_micro_batch_matches_full(tmp_path, monkeypatch):
     )
     for k in ("all", "occ", "vis"):
         np.testing.assert_allclose(micro[k], full[k], rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_evaluate_data_parallel_matches_single(tmp_path, monkeypatch):
+    """SPMD data-parallel eval (params replicated, micro-batch sharded
+    over the 8-virtual-device mesh) must reproduce the single-device
+    metrics exactly — the serving scale-out path of evaluate_cvo."""
+    root = str(tmp_path / "cvor")
+    write_synthetic_cvor(root, num_train=1, num_test=10, h=64, w=64)
+    monkeypatch.chdir(tmp_path)
+
+    kw = dict(split="clean", batch=8, micro_batch=8, iters=2,
+              compute_dtype="float32")
+    r_dp = evaluate_cvo("direct|raft", root, data_parallel=True, **kw)
+    r_sd = evaluate_cvo("direct|raft", root, data_parallel=False, **kw)
+    for k in ("all", "occ", "vis"):
+        np.testing.assert_allclose(r_dp[k], r_sd[k], rtol=1e-5, atol=1e-6)
