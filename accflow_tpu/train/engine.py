@@ -84,10 +84,15 @@ def reference_noise(key: jax.Array, frame_shape) -> jnp.ndarray:
 
 
 def build_acc_model(opt):
-    """(estimator, acc_cfg) from an experiment name like Acc+RAFT-cvo."""
+    """(estimator, acc_cfg) from an experiment name like Acc+RAFT-cvo.
+    opt.direction="forward" selects the F0N ablation (fflows labels)."""
     cd = opt.get("compute_dtype", "bfloat16")
     est = build_flow_estimator(opt.exp_name, compute_dtype=cd)
-    acfg = AccFlowConfig(compute_dtype=cd, remat=bool(opt.get("remat", False)))
+    acfg = AccFlowConfig(
+        compute_dtype=cd,
+        remat=bool(opt.get("remat", False)),
+        direction=opt.get("direction", "backward"),
+    )
     return est, acfg
 
 
@@ -98,9 +103,12 @@ def make_acc_train_step(est, acfg: AccFlowConfig, tx, add_noise: bool):
         return fn
 
     @partial(jax.jit, donate_argnums=(0,))
-    def train_step(state: TrainState, ofe_params, imgs, bflows, key):
+    def train_step(state: TrainState, ofe_params, imgs, label_flows, key):
+        # label_flows: bflows [F_{k,0}] (backward) or fflows [F_{0,k}]
+        # (direction="forward") — both align with accflow_forward's output
+        # list for their direction.
         images = to_clip(imgs)
-        labels = to_flow_seq(bflows)
+        labels = to_flow_seq(label_flows)
         if add_noise:
             images = images + reference_noise(key, images.shape[1:])[None]
 
@@ -120,9 +128,9 @@ def make_acc_train_step(est, acfg: AccFlowConfig, tx, add_noise: bool):
         return new_state, loss, metrics
 
     @jax.jit
-    def valid_step(params, ofe_params, imgs, bflows):
+    def valid_step(params, ofe_params, imgs, label_flows):
         images = to_clip(imgs)
-        labels = to_flow_seq(bflows)
+        labels = to_flow_seq(label_flows)
         outs = accflow_forward(
             params, ofe_fn(ofe_params), images, acfg,
             ofe_pairs=est.pairs_fn(ofe_params),
@@ -193,10 +201,14 @@ def train_acc(opt, max_steps: int | None = None, tb=None):
 
         tb = TBLogger(osp.join(log_dir, "tb"))
 
+    # Backward accumulation (the paper's model) trains against bflows
+    # [F_{k,0}]; the forward (F0N) ablation against fflows [F_{0,k}] —
+    # the CVO groups align 1:1 with the respective output lists.
+    flow_key = "fflows" if opt.get("direction") == "forward" else "bflows"
     train_dst = fetch_train_dataset(
-        opt.dataset_root, ["bflows"], crop_size=opt.image_size, split="clean+final"
+        opt.dataset_root, [flow_key], crop_size=opt.image_size, split="clean+final"
     )
-    valid_dst = fetch_valid_dataset(opt.dataset_root, ["bflows"], split="clean")
+    valid_dst = fetch_valid_dataset(opt.dataset_root, [flow_key], split="clean")
     sample_per_epoch = len(train_dst) // batch + 1
     num_steps = sample_per_epoch * opt.epochs
     logger.info(
@@ -269,7 +281,7 @@ def train_acc(opt, max_steps: int | None = None, tb=None):
             current_step += 1
             key, sub = jax.random.split(key)
             state, loss, metrics = train_step(
-                state, ofe_params, batch_np["imgs"], batch_np["bflows"], sub
+                state, ofe_params, batch_np["imgs"], batch_np[flow_key], sub
             )
             losses.append(float(loss))
             epes.append(float(metrics["epe"]))
@@ -303,7 +315,7 @@ def train_acc(opt, max_steps: int | None = None, tb=None):
                     vb, n_valid = pad_batch(vb, batch)
                     vb = in_shard(vb)
                     per_sample, flow_last = valid_step(
-                        state.params, ofe_params, vb["imgs"], vb["bflows"]
+                        state.params, ofe_params, vb["imgs"], vb[flow_key]
                     )
                     epes_sum += float(np.asarray(per_sample)[:n_valid].sum())
                     base = epes_n

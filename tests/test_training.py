@@ -354,3 +354,39 @@ def test_train_acc_tb_and_visual_samples(tmp_path):
     im0 = glob.glob(str(tmp_path / "logs" / "val" / "im000" / "*.png"))
     im9 = glob.glob(str(tmp_path / "logs" / "val" / "im009" / "*.png"))
     assert im0 and im9, (im0, im9)
+
+
+def test_train_acc_forward_direction(tmp_path):
+    """direction="forward" (F0N ablation) trains end-to-end: the engine
+    switches labels to fflows [F_{0,k}] and the forward recursion runs
+    under grad + AdamW on the 8-device mesh."""
+    from accflow_tpu.data.synthetic import write_synthetic_cvor
+    from accflow_tpu.train.engine import train_acc
+    from accflow_tpu.utils.config import AttrDict
+
+    root = str(tmp_path / "cvor")
+    write_synthetic_cvor(root, num_train=8, num_test=2, h=64, w=64)
+
+    opt = AttrDict(
+        exp_name="Acc+RAFT-f0n-debug",
+        direction="forward",
+        epochs=1,
+        lr=1e-4,
+        wdecay=1e-5,
+        epsilon=1e-8,
+        compute_dtype="float32",
+        batch_per_gpu=1,
+        clip=1.0,
+        add_noise=False,
+        log_freq=1,
+        valid_freq=100,
+        image_size=64,
+        dataset_root=root,
+        log_dir=str(tmp_path / "logs"),
+        ckpt_dir=str(tmp_path / "ckpt"),
+        visual_samples=[],
+    )
+    state = train_acc(opt, max_steps=2)
+    assert int(state.step) == 2
+    leaves = jax.tree.leaves(state.params)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
