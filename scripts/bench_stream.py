@@ -82,12 +82,21 @@ def run_quality():
     qsize = int(os.environ.get("QUALITY_SIZE", "256"))
     clips = int(os.environ.get("QUALITY_CLIPS", "10"))
 
-    tmp = tempfile.mkdtemp(prefix="stream_quality_")
-    root = os.path.join(tmp, "cvor")
-    print(f"[quality] synthetic CVOR at {root} ({qsize}^2, {clips} test clips)")
+    # QUALITY_REUSE=<tmpdir of a previous run> skips data synthesis and
+    # resumes the fine-tune from its checkpoints (the remote-compile relay
+    # occasionally drops long runs; this makes the experiment restartable).
+    reuse = os.environ.get("QUALITY_REUSE")
     num_train = max(4 * clips, 48)
-    write_synthetic_cvor(root, num_train=num_train, num_test=clips,
-                         h=qsize, w=qsize)
+    if reuse:
+        tmp = reuse
+        root = os.path.join(tmp, "cvor")
+        print(f"[quality] reusing CVOR + checkpoints under {tmp}")
+    else:
+        tmp = tempfile.mkdtemp(prefix="stream_quality_")
+        root = os.path.join(tmp, "cvor")
+        print(f"[quality] synthetic CVOR at {root} ({qsize}^2, {clips} test clips)")
+        write_synthetic_cvor(root, num_train=num_train, num_test=clips,
+                             h=qsize, w=qsize)
 
     # Size epochs so the OneCycle schedule spans the steps actually run
     # (stopping mid-warmup would leave the model barely trained).
@@ -99,10 +108,13 @@ def run_quality():
         add_noise=False, log_freq=50, valid_freq=10**9, seed=0,
         log_dir=os.path.join(tmp, "logs"), ckpt_dir=os.path.join(tmp, "ckpt"),
     )
-    print(f"[quality] fine-tuning RAFT for {steps} steps on synthetic data")
+    ft_ckpt = os.path.join(tmp, "ckpt_ft")
+    ft_resume = "auto" if reuse and os.path.isdir(ft_ckpt) else None
+    print(f"[quality] fine-tuning RAFT for {steps} steps on synthetic data"
+          + (" (resume auto)" if ft_resume else ""))
     ft = fine_tune(AttrDict(dict(common, exp_name="RAFT-synth",
                                  log_dir=os.path.join(tmp, "logs_ft"),
-                                 ckpt_dir=os.path.join(tmp, "ckpt_ft"))),
+                                 ckpt_dir=ft_ckpt, resume=ft_resume)),
                    max_steps=steps)
     ofe_params = ft.params
     print(f"[quality] training accumulator for {steps} steps")
