@@ -26,6 +26,8 @@ def main(argv=None):
     parser.add_argument("--iters", type=int, default=12)
     parser.add_argument("--compute-dtype", type=str, default="bfloat16")
     parser.add_argument("--corr_lookup", type=str, default="fused")
+    parser.add_argument("--scan_unroll", type=int, default=4,
+                        help="GRU scan unroll baked into the artifact")
     parser.add_argument("--platforms", type=str, default=None,
                         help="comma list, e.g. 'tpu' or 'tpu,cpu' "
                         "(default: current backend)")
@@ -40,7 +42,7 @@ def main(argv=None):
 
     est = build_flow_estimator(
         args.ofe, compute_dtype=args.compute_dtype, iters=args.iters,
-        corr_lookup=args.corr_lookup,
+        corr_lookup=args.corr_lookup, scan_unroll=args.scan_unroll,
     )
     acfg = AccFlowConfig(compute_dtype=args.compute_dtype)
     if args.acc_ckpt:

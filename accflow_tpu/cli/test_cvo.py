@@ -33,6 +33,10 @@ def main(argv=None):
                         help="correlation lookup implementation (see "
                         "RAFTConfig.corr_lookup; measured trade-offs in "
                         "PARITY.md)")
+    parser.add_argument("--scan_unroll", type=int, default=1,
+                        help="GRU-iteration scan unroll factor (4 is the "
+                        "serving-bench default: fewer loop-boundary ops "
+                        "for more compile time)")
     parser.add_argument("--warm_start", action="store_true",
                         help="warm-start consecutive pair solves from the "
                         "previous advected flow (reference README TODO; "
@@ -71,6 +75,7 @@ def main(argv=None):
         warm_start=args.warm_start,
         corr_lookup=args.corr_lookup,
         micro_batch=args.micro_batch,
+        scan_unroll=args.scan_unroll,
     )
 
 

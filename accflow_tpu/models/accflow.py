@@ -73,6 +73,8 @@ class AccFlowConfig:
     # Requires a flow_init-capable ofe (FlowEstimator.flow_fn) and forces
     # the stepwise path (the queries become sequentially dependent).
     warm_start: bool = False
+    # Space-to-depth stem for the context encoder (see RAFTConfig.stem_s2d).
+    stem_s2d: bool = False
     # Accumulation direction: "backward" (the paper's FN0 model — flow
     # frame i -> frame 0) or "forward" (the F0N ablation — flow frame 0 ->
     # frame i; see _accflow_forward_f0n). The reference ships the forward
@@ -233,7 +235,7 @@ def _cell_modules(
     ctx = basic_encoder(
         params["context"],
         jnp.concatenate([I1, I2, In], axis=0).astype(cd),
-        "none",
+        "none", stem_s2d=cfg.stem_s2d,
     )
     c1, c2, cn = ctx[:n], ctx[n : 2 * n], ctx[2 * n :]
 
@@ -452,7 +454,8 @@ def _accflow_forward_fused(
 
     # --- Per-frame context features, one batched encode ---
     ctx = basic_encoder(
-        params["context"], images.reshape(t * n, h, w, 3).astype(cd), "none"
+        params["context"], images.reshape(t * n, h, w, 3).astype(cd), "none",
+        stem_s2d=cfg.stem_s2d,
     ).reshape(t, n, h // 8, w // 8, -1)
     ctx32 = ctx.astype(jnp.float32)
 

@@ -35,6 +35,45 @@ def _norm_groups(planes: int) -> int:
     return planes // 8
 
 
+def _s2d_stem_conv(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """The 7x7/stride-2 stem conv, reformulated as a 4x4/stride-1 conv on a
+    2x2 space-to-depth transform of the input (exact up to summation order).
+
+    The stem is the worst conv on the MXU: 3 input channels out of 128
+    lanes (traced at 10-12 TF/s, 5-6% of bf16 peak). Folding 2x2 pixel
+    blocks into channels quarters the window count and quadruples the
+    contraction depth (3 -> 12): out[y'] = sum_dy w[dy] x[2y'+dy-3] becomes
+    a 4-tap valid conv over blocks S[Y, py] = xq[2Y+py] with xq = x padded
+    (4, 2) and weights wp[2DY+py] = w[2DY+py-1] (tap -1 zero-padded).
+    """
+    w = p["w"]
+    cin, cout = w.shape[2], w.shape[3]
+    n, h, wd, _ = x.shape
+    if h % 2 or wd % 2:  # InputPadder guarantees even sizes; fall back if not
+        return conv2d(p, x, stride=2)
+    xq = jnp.pad(x, ((0, 0), (4, 2), (4, 2), (0, 0)))
+    hq, wq = h + 6, wd + 6
+    s = (
+        xq.reshape(n, hq // 2, 2, wq // 2, 2, cin)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(n, hq // 2, wq // 2, 4 * cin)
+    )
+    wp = jnp.pad(w, ((1, 0), (1, 0), (0, 0), (0, 0)))
+    w2 = (
+        wp.reshape(4, 2, 4, 2, cin, cout)
+        .transpose(0, 2, 1, 3, 4, 5)
+        .reshape(4, 4, 4 * cin, cout)
+    )
+    p2 = {"w": w2}
+    if "b" in p:
+        p2["b"] = p["b"]
+    return conv2d(p2, s, padding=0)
+
+
+def _stem(p: Params, x: jnp.ndarray, s2d: bool) -> jnp.ndarray:
+    return _s2d_stem_conv(p, x) if s2d else conv2d(p, x, stride=2)
+
+
 # ---------------------------------------------------------------------------
 # Residual block
 # ---------------------------------------------------------------------------
@@ -155,13 +194,14 @@ def init_basic_encoder(
 
 
 def basic_encoder(
-    p: Params, x: jnp.ndarray, norm_fn: str, train: bool = False
+    p: Params, x: jnp.ndarray, norm_fn: str, train: bool = False,
+    stem_s2d: bool = False,
 ) -> jnp.ndarray:
     """Stride-8 feature encoder. x: (N, H, W, C) -> (N, H/8, W/8, output_dim).
 
     train=True switches BatchNorm layers to batch statistics and stashes
     running-stat updates (see nn/layers.py::batch_norm)."""
-    x = conv2d(p["conv1"], x, stride=2)
+    x = _stem(p["conv1"], x, stem_s2d)
     x = relu(apply_norm(norm_fn, p.get("norm1"), x, 8, train))
     for idx, stride in zip((1, 2, 3), (1, 2, 2)):
         stage = p[f"layer{idx}"]
@@ -197,9 +237,10 @@ def init_small_encoder(
 
 
 def small_encoder(
-    p: Params, x: jnp.ndarray, norm_fn: str, train: bool = False
+    p: Params, x: jnp.ndarray, norm_fn: str, train: bool = False,
+    stem_s2d: bool = False,
 ) -> jnp.ndarray:
-    x = conv2d(p["conv1"], x, stride=2)
+    x = _stem(p["conv1"], x, stem_s2d)
     x = relu(apply_norm(norm_fn, p.get("norm1"), x, 8, train))
     for idx, stride in zip((1, 2, 3), (1, 2, 2)):
         stage = p[f"layer{idx}"]

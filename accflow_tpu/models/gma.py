@@ -83,6 +83,10 @@ class GMAConfig:
     # Corr lookup implementation (see ops/corr.py and models/raft.py's
     # RAFTConfig for the full list; measured trade-offs in PARITY.md).
     corr_lookup: str = "fused"
+    # GRU-iteration lax.scan unroll factor (see RAFTConfig.scan_unroll).
+    scan_unroll: int = 1
+    # Space-to-depth stem (see RAFTConfig.stem_s2d).
+    stem_s2d: bool = False
 
     @property
     def corr_precision(self) -> str:
@@ -258,7 +262,8 @@ def gma_forward(
     n = image1.shape[0]
 
     imgs = jnp.concatenate([image1, image2], axis=0).astype(cd)
-    fmaps = basic_encoder(params["fnet"], imgs, "instance")
+    fmaps = basic_encoder(params["fnet"], imgs, "instance",
+                          stem_s2d=cfg.stem_s2d)
     fmap1, fmap2 = fmaps[:n], fmaps[n:]
     pyramid = build_corr_pyramid(
         fmap1.astype(jnp.float32), fmap2.astype(jnp.float32), cfg.corr_levels,
@@ -275,7 +280,8 @@ def gma_forward(
 
 def gma_cnet(params: Params, image1: jnp.ndarray, cfg: GMAConfig, train: bool = False):
     cd = jnp.dtype(cfg.compute_dtype)
-    cnet_out = basic_encoder(params["cnet"], image1.astype(cd), "batch", train)
+    cnet_out = basic_encoder(params["cnet"], image1.astype(cd), "batch", train,
+                             stem_s2d=cfg.stem_s2d)
     hdim = cfg.hidden_dim
     net = jnp.tanh(cnet_out[..., :hdim])
     inp = jax.nn.relu(cnet_out[..., hdim:])
@@ -400,7 +406,10 @@ def gma_iterate(
         flow_up = convex_upsample(coords1 - coords0, mask, s_major=True)
         return (net, coords1), flow_up
 
-    (net, coords1), flows_up = lax.scan(step, (net, coords1), None, length=iters)
+    (net, coords1), flows_up = lax.scan(
+        step, (net, coords1), None, length=iters,
+        unroll=min(cfg.scan_unroll, iters),
+    )
 
     if final_only:
         mask = upsample_mask(params["update_block"], net, w2=w2s)
@@ -439,7 +448,7 @@ def gma_pairs_forward(
     fmaps = basic_encoder(
         params["fnet"],
         frames[jnp.asarray(used)].reshape(len(used) * n, h, w, 3).astype(cd),
-        "instance",
+        "instance", stem_s2d=cfg.stem_s2d,
     ).reshape(len(used), n, h // 8, w // 8, -1)
     fmap1 = fmaps[jnp.asarray([pos[i] for i in src_idx])].reshape(p * n, h // 8, w // 8, -1)
     fmap2 = fmaps[jnp.asarray([pos[i] for i in dst_idx])].reshape(p * n, h // 8, w // 8, -1)

@@ -67,6 +67,13 @@ class RAFTConfig:
     # "fused_mix:<l0,l1,l2,l3>", "pallas" (per-query kernel),
     # "pallas_fused" (all-levels kernel; inference-only, guarded).
     corr_lookup: str = "fused"
+    # Unroll factor for the GRU-iteration lax.scan. The serving trace
+    # attributes ~7 ms/step to while-loop boundary slice/copy ops; unrolling
+    # trades compile time for their removal + cross-iteration fusion.
+    scan_unroll: int = 1
+    # Space-to-depth stem: run the 7x7/2 stem as an exact 4x4/1 conv on
+    # 2x2-folded input (12 channels instead of 3 on the MXU contraction).
+    stem_s2d: bool = False
 
     @property
     def corr_precision(self) -> str:
@@ -393,7 +400,8 @@ def raft_fnet(params: Params, images: jnp.ndarray, cfg: RAFTConfig) -> jnp.ndarr
     grouped)."""
     cd = jnp.dtype(cfg.compute_dtype)
     enc = small_encoder if cfg.small else basic_encoder
-    return enc(params["fnet"], images.astype(cd), "instance")
+    return enc(params["fnet"], images.astype(cd), "instance",
+               stem_s2d=cfg.stem_s2d)
 
 
 def raft_cnet(params: Params, image1: jnp.ndarray, cfg: RAFTConfig, train: bool = False):
@@ -402,9 +410,11 @@ def raft_cnet(params: Params, image1: jnp.ndarray, cfg: RAFTConfig, train: bool 
     fine-tunes with model.train(): fine_tune.py:163)."""
     cd = jnp.dtype(cfg.compute_dtype)
     if cfg.small:
-        cnet_out = small_encoder(params["cnet"], image1.astype(cd), "none", train)
+        cnet_out = small_encoder(params["cnet"], image1.astype(cd), "none", train,
+                                 stem_s2d=cfg.stem_s2d)
     else:
-        cnet_out = basic_encoder(params["cnet"], image1.astype(cd), "batch", train)
+        cnet_out = basic_encoder(params["cnet"], image1.astype(cd), "batch", train,
+                                 stem_s2d=cfg.stem_s2d)
     hdim = cfg.hidden_dim
     net = jnp.tanh(cnet_out[..., :hdim])
     inp = jax.nn.relu(cnet_out[..., hdim:])
@@ -607,7 +617,10 @@ def raft_iterate(
             flow_up = convex_upsample(coords1 - coords0, mask, s_major=True)
         return (net, coords1), flow_up
 
-    (net, coords1), flows_up = lax.scan(step, (net, coords1), None, length=iters)
+    (net, coords1), flows_up = lax.scan(
+        step, (net, coords1), None, length=iters,
+        unroll=min(cfg.scan_unroll, iters),
+    )
 
     if final_only:
         if cfg.small:

@@ -87,7 +87,10 @@ def build_acc_model(opt):
     """(estimator, acc_cfg) from an experiment name like Acc+RAFT-cvo.
     opt.direction="forward" selects the F0N ablation (fflows labels)."""
     cd = opt.get("compute_dtype", "bfloat16")
-    est = build_flow_estimator(opt.exp_name, compute_dtype=cd)
+    est = build_flow_estimator(
+        opt.exp_name, compute_dtype=cd,
+        scan_unroll=int(opt.get("scan_unroll", 1)),
+    )
     acfg = AccFlowConfig(
         compute_dtype=cd,
         remat=bool(opt.get("remat", False)),

@@ -62,6 +62,7 @@ def evaluate_cvo(
     corr_lookup: str = "fused",
     micro_batch: Optional[int] = None,
     data_parallel: bool = True,
+    scan_unroll: int = 1,
 ):
     """Run the CVO-{end} protocol. model_name: e.g. "direct|raft",
     "acc|gma" (test_cvo.py:118). Params may be passed directly (tests) or
@@ -90,7 +91,8 @@ def evaluate_cvo(
     """
     use_acc = "acc" in model_name.split("|")[0]
     est = build_flow_estimator(
-        model_name, compute_dtype=compute_dtype, corr_lookup=corr_lookup
+        model_name, compute_dtype=compute_dtype, corr_lookup=corr_lookup,
+        scan_unroll=scan_unroll,
     )
 
     if params is None:

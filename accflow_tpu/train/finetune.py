@@ -170,7 +170,10 @@ def fine_tune(opt, max_steps: int | None = None, tb=None):
         len(train_dst), batch, n_dev, num_steps,
     )
 
-    est = build_flow_estimator(opt.exp_name, compute_dtype=opt.get("compute_dtype", "bfloat16"))
+    est = build_flow_estimator(
+        opt.exp_name, compute_dtype=opt.get("compute_dtype", "bfloat16"),
+        scan_unroll=int(opt.get("scan_unroll", 1)),
+    )
     if opt.get("init_params") is not None:
         params = opt.init_params
     elif opt.get("flow_pretrained"):

@@ -67,6 +67,9 @@ def run_one(BATCH: int) -> None:
         compute_dtype="bfloat16",
         corr_volume_dtype=os.environ.get("BENCH_VOL_DTYPE", "float32"),
         corr_lookup=os.environ.get("BENCH_LOOKUP", "fused"),
+        # Unrolling the GRU scan 4x removes ~2 ms/step of while-loop
+        # boundary slice/copy ops (ablation: 62.1 -> 63.0 f/s; 12x loses).
+        scan_unroll=int(os.environ.get("BENCH_UNROLL", "4")),
     )
     acfg = AccFlowConfig(compute_dtype="bfloat16")
     ofe_params = est.init(jax.random.PRNGKey(0))

@@ -105,7 +105,19 @@ def main():
         ("packed2", dict(corr_lookup="packed2")),
         ("iters3", dict(iters=3)),
         ("iters3_pallas", dict(iters=3, corr_lookup="pallas")),
+        # r3: unroll the GRU scan — the serving trace pins ~7 ms/step on
+        # while-loop boundary slice/copy ops (raft.py scan line).
+        ("unroll4", dict(scan_unroll=4)),
+        ("unroll12", dict(scan_unroll=12)),
+        # r3: space-to-depth stem (12-channel MXU contraction instead of 3).
+        ("stem_s2d", dict(stem_s2d=True)),
+        ("s2d_unroll4", dict(stem_s2d=True, scan_unroll=4)),
     ]
+    # stem_s2d also applies to the AccFlow context encoder.
+    acc_cfgs = {
+        "stem_s2d": AccFlowConfig(compute_dtype="bfloat16", stem_s2d=True),
+        "s2d_unroll4": AccFlowConfig(compute_dtype="bfloat16", stem_s2d=True),
+    }
     sel = _os.environ.get("ABLATE", "")
     if sel:
         names = sel.split(",")
@@ -113,7 +125,7 @@ def main():
     times = {}
     for name, kw in variants:
         est = build_flow_estimator("raft", compute_dtype="bfloat16", **kw)
-        t = clip_time(est, acfg)
+        t = clip_time(est, acc_cfgs.get(name, acfg))
         times[name] = t
         print(f"{name:22s} {t*1e3:8.1f} ms/clip  ({FRAMES/t:6.1f} frames/s)", flush=True)
 

@@ -33,7 +33,10 @@ def main():
     from accflow_tpu.train.optim import make_optimizer
 
     est = build_flow_estimator(
-        os.environ.get("BENCH_OFE", "raft"), compute_dtype="bfloat16"
+        os.environ.get("BENCH_OFE", "raft"), compute_dtype="bfloat16",
+        # BENCH_UNROLL: GRU-scan unroll under grad (default 1 — unlike
+        # serving, the unrolled scan changes the saved-activation layout).
+        scan_unroll=int(os.environ.get("BENCH_UNROLL", "1")),
     )
     acfg = AccFlowConfig(compute_dtype="bfloat16")
     ofe_params = est.init(jax.random.PRNGKey(0))

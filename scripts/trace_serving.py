@@ -87,6 +87,11 @@ def parse():
         return base.startswith("jit_") or base in ("while", "body", "condition")
 
     per_src = defaultdict(lambda: [0.0, 0, 0.0, 0.0])  # ms, count, GB, GFLOP
+    # TRACE_DETAIL=<source substring>: also aggregate matching ops by their
+    # individual HLO signature (long_name) to see WHICH shapes dominate a
+    # source line (e.g. which convs inside nn/layers.py:100).
+    detail_filter = os.environ.get("TRACE_DETAIL", "")
+    per_op = defaultdict(lambda: [0.0, 0, 0.0, 0.0])
     total = 0.0
     for e in events:
         if e.get("ph") != "X" or "dur" not in e:
@@ -110,6 +115,15 @@ def parse():
         rec[1] += 1
         rec[2] += int(args.get("raw_bytes_accessed", 0) or 0) / 1e9
         rec[3] += int(args.get("model_flops", 0) or 0) / 1e9
+        if detail_filter and detail_filter in src:
+            okey = name  # one row per distinct HLO instruction
+            orec = per_op[okey]
+            orec[0] += dur
+            orec[1] += 1
+            orec[2] += int(args.get("raw_bytes_accessed", 0) or 0) / 1e9
+            orec[3] += int(args.get("model_flops", 0) or 0) / 1e9
+            if len(orec) == 4:
+                orec.append(str(args.get("long_name", ""))[:200])
 
     print(f"\nleaf device time {total:.1f} ms over {REPS} steps "
           f"({total/REPS:.1f} ms/step)\n")
@@ -123,6 +137,16 @@ def parse():
             f"{ms/REPS:8.2f} ms  x{n:5d}  {bw:6.0f} GB/s {tf:6.1f} TF/s  "
             f"{k:34s} {s[:90]}"
         )
+
+    if detail_filter:
+        print(f"\n== ops matching TRACE_DETAIL={detail_filter!r} — per HLO ==")
+        for name, rec in sorted(per_op.items(), key=lambda kv: -kv[1][0])[:40]:
+            ms, n, gb, gf = rec[:4]
+            long = rec[4] if len(rec) > 4 else ""
+            bw = gb / (ms / 1e3) if ms else 0.0
+            tf = gf / (ms / 1e3) / 1e3 if ms else 0.0
+            print(f"{ms/REPS:8.3f} ms  x{n:4d}  {bw:6.0f} GB/s {tf:6.1f} TF/s  "
+                  f"{name[:40]:40s} {long[:140]}")
 
 
 if __name__ == "__main__":

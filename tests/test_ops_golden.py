@@ -408,6 +408,41 @@ def test_raft_forward_pallas_fused_matches_mm(rng):
     )
 
 
+def test_stem_s2d_and_unroll_match_reference_path(rng):
+    """The space-to-depth stem reformulation and the unrolled GRU scan are
+    exact rewrites: (a) the folded 4x4/1 stem conv == the 7x7/2 conv, and
+    (b) a full RAFT forward with stem_s2d + scan_unroll == the default
+    path (f32, tolerance = summation-order noise)."""
+    import jax
+
+    from accflow_tpu.models.encoders import _s2d_stem_conv
+    from accflow_tpu.models.raft import RAFTConfig, init_raft, raft_forward
+    from accflow_tpu.nn.layers import conv2d, init_conv
+
+    p = init_conv(jax.random.PRNGKey(1), 3, 64, 7)
+    x = jnp.asarray(rng.standard_normal((2, 64, 96, 3)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(_s2d_stem_conv(p, x)),
+        np.asarray(conv2d(p, x, stride=2)),
+        rtol=1e-5, atol=1e-5,
+    )
+
+    cfg = RAFTConfig(iters=3, compute_dtype="float32")
+    params = init_raft(jax.random.PRNGKey(0), cfg)
+    img1 = jnp.asarray(rng.uniform(-1, 1, (1, 64, 64, 3)).astype(np.float32))
+    img2 = jnp.asarray(rng.uniform(-1, 1, (1, 64, 64, 3)).astype(np.float32))
+    base = raft_forward(params, img1, img2, cfg, final_only=True)["flow_up"]
+    fast = raft_forward(
+        params, img1, img2,
+        RAFTConfig(iters=3, compute_dtype="float32", stem_s2d=True,
+                   scan_unroll=4),
+        final_only=True,
+    )["flow_up"]
+    np.testing.assert_allclose(
+        np.asarray(fast), np.asarray(base), rtol=1e-3, atol=1e-3
+    )
+
+
 def test_lookup_corr_split_matches_flat(rng):
     """Per-level split lookup == the flattened mm lookup, reassembled."""
     b, h, w, c = 2, 16, 16, 16
