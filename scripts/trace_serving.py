@@ -42,6 +42,7 @@ def run_traced():
         compute_dtype="bfloat16",
         corr_volume_dtype=os.environ.get("BENCH_VOL_DTYPE", "float32"),
         corr_lookup=os.environ.get("BENCH_LOOKUP", "fused"),
+        scan_unroll=int(os.environ.get("BENCH_UNROLL", "4")),
     )
     acfg = AccFlowConfig(compute_dtype="bfloat16")
     ofe_params = est.init(jax.random.PRNGKey(0))
