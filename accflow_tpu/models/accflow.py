@@ -80,6 +80,10 @@ class AccFlowConfig:
     # frame i; see _accflow_forward_f0n). The reference ships the forward
     # direction only as broken legacy code (networks/AccPlus_forward.py).
     direction: str = "backward"
+    # Unroll factor for the fused path's accumulation-cell lax.scan (5
+    # steps for T=7). The training trace attributes ~26 ms/step to this
+    # scan's boundary dynamic-update-slice/copy ops.
+    acc_unroll: int = 1
 
 
 # ---------------------------------------------------------------------------
@@ -399,6 +403,10 @@ def _accflow_forward_f0n(
     if t == 3:
         return out0[None]
 
+    cell_fn = _cell_modules
+    if cfg.remat:
+        cell_fn = jax.checkpoint(_cell_modules, static_argnums=(7,))
+
     def step(carry, frames):
         I2, In = frames  # frames i-1, i
         carry = lax.stop_gradient(carry)
@@ -408,12 +416,105 @@ def _accflow_forward_f0n(
         )
         flows = lax.stop_gradient(downflow8(flows))
         direct, local = jnp.split(flows, 2, axis=0)
-        carry, out = _cell_modules(params, carry, direct, local, I0, I2, In, cfg)
+        carry, out = cell_fn(params, carry, direct, local, I0, I2, In, cfg)
         return carry, out
 
     xs = (images[2:-1], images[3:])
     _, outs = lax.scan(step, carry, xs)
     return jnp.concatenate([out0[None], outs], axis=0)
+
+
+def _accflow_forward_f0n_fused(
+    params: Params,
+    ofe: OfeFn,
+    images: jnp.ndarray,
+    cfg: AccFlowConfig,
+    ofe_pairs=None,
+) -> jnp.ndarray:
+    """Fused-OFE forward accumulation (see _accflow_forward_f0n for the
+    direction's semantics and slot mapping into the cell modules).
+
+    Mirror of _accflow_forward_fused: every OFE query (direct F_{0,i},
+    local f_{i-1,i}, seed F_{0,1}), the per-frame context features, the
+    error maps of the direct flows, and the flow encodings of all
+    precomputed flows are hoisted out of the recurrence — the scan runs
+    only the carry-dependent modules (encode carry, its occlusion map,
+    AccPlus, blending, decoder). The occlusion map stays IN the scan here
+    (unlike backward, where it belongs to the precomputed local flow):
+    forward accumulation occludes the carry F_{0,i-1} between frames 0
+    and i-1. Numerically equivalent to the stepwise F0N path (tested)."""
+    t, n, h, w, _ = images.shape
+    cd = jnp.dtype(cfg.compute_dtype)
+    s = t - 2  # number of accumulation steps / outputs
+    h8, w8 = h // 8, w // 8
+
+    # --- One batched OFE call: [direct_2..direct_{T-1} | local_2.. | seed]
+    src_idx = (0,) * s + tuple(range(1, t - 1)) + (0,)
+    dst_idx = tuple(range(2, t)) + tuple(range(2, t)) + (1,)
+    if ofe_pairs is not None:
+        full_flows = ofe_pairs(images, src_idx, dst_idx)
+    else:
+        srcs = jnp.concatenate([images[i] for i in src_idx], axis=0)
+        dsts = jnp.concatenate([images[i] for i in dst_idx], axis=0)
+        full_flows = ofe(srcs, dsts)
+    flows = lax.stop_gradient(downflow8(full_flows))
+    directs = flows[: s * n].reshape(s, n, h8, w8, 2)
+    locals_ = flows[s * n : 2 * s * n].reshape(s, n, h8, w8, 2)
+    seed = flows[2 * s * n :]  # (N, h8, w8, 2) = F_{0,1}
+
+    # --- Per-frame context features, one batched encode ---
+    ctx = basic_encoder(
+        params["context"], images.reshape(t * n, h, w, 3).astype(cd), "none",
+        stem_s2d=cfg.stem_s2d,
+    ).reshape(t, n, h8, w8, -1)
+    ctx32 = ctx.astype(jnp.float32)
+    c0 = ctx[0]  # frame-0 context: the output grid of every step
+    c0_32 = ctx32[0]
+
+    # --- Error maps of the direct flows (detached, carry-independent) ---
+    emap = photometric_occ(
+        directs.reshape(s * n, h8, w8, 2),
+        jnp.broadcast_to(c0_32[None], (s, n, h8, w8, ctx.shape[-1])).reshape(
+            s * n, h8, w8, -1
+        ),
+        ctx32[2:].reshape(s * n, h8, w8, -1),
+        binary=False,
+    )
+    emap = lax.stop_gradient(emap).reshape(s, n, h8, w8, -1)
+
+    # --- Encode the precomputed flows once ---
+    enc = flow_encoder(
+        params["flow_encoder"],
+        jnp.concatenate(
+            [directs.reshape(s * n, h8, w8, 2),
+             locals_.reshape(s * n, h8, w8, 2)],
+            axis=0,
+        ).astype(cd),
+    )
+    f_dirs = enc[: s * n].reshape(s, n, h8, w8, -1)
+    f_locs = enc[s * n :].reshape(s, n, h8, w8, -1)
+
+    # --- Sequential cells (slots: dflow<-carry, flow_ini<-direct,
+    # F2n<-local; see _accflow_forward_f0n) ---
+    def cell(flow_carry, xs):
+        f_dir, f_loc, emap_i, c_prev32 = xs
+        flow_carry = lax.stop_gradient(flow_carry)
+        f = flow_encoder(params["flow_encoder"], flow_carry.astype(cd))
+        o = photometric_occ(flow_carry, c0_32, c_prev32)
+        o = lax.stop_gradient(o)
+        f_acc = accplus(params["accplus"], f, f_loc, o.astype(cd), c0)
+        f_fuse = blending(params["blending"], f_dir, f_acc, emap_i.astype(cd))
+        out_small, out = flow_decoder(params["flow_decoder"], f_fuse)
+        return out_small.astype(jnp.float32), out.astype(jnp.float32)
+
+    if cfg.remat:
+        cell = jax.checkpoint(cell)
+
+    _, outs = lax.scan(
+        cell, seed, (f_dirs, f_locs, emap, ctx32[1:-1]),
+        unroll=min(cfg.acc_unroll, s),
+    )
+    return outs
 
 
 def _accflow_forward_fused(
@@ -501,7 +602,10 @@ def _accflow_forward_fused(
     if cfg.remat:
         cell = jax.checkpoint(cell)
 
-    _, outs = lax.scan(cell, seed, (f_inis, dfs, o, emap, ctx[2:]))
+    _, outs = lax.scan(
+        cell, seed, (f_inis, dfs, o, emap, ctx[2:]),
+        unroll=min(cfg.acc_unroll, s),
+    )
     return outs
 
 
@@ -530,6 +634,8 @@ def accflow_forward(
     if cfg.direction == "forward":
         if cfg.warm_start:
             raise ValueError("warm_start is a backward-direction feature")
+        if cfg.fused_ofe:
+            return _accflow_forward_f0n_fused(params, ofe, images, cfg, ofe_pairs)
         return _accflow_forward_f0n(params, ofe, images, cfg)
     if cfg.direction != "backward":
         raise ValueError(f"unknown accumulation direction: {cfg.direction!r}")

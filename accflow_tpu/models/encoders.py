@@ -49,7 +49,10 @@ def _s2d_stem_conv(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     w = p["w"]
     cin, cout = w.shape[2], w.shape[3]
     n, h, wd, _ = x.shape
-    if h % 2 or wd % 2:  # InputPadder guarantees even sizes; fall back if not
+    # The folded-weight construction below is specific to the 7x7/pad-3
+    # geometry; fall back for any other stem kernel or odd input sizes
+    # (InputPadder guarantees even sizes on the protocol path).
+    if w.shape[:2] != (7, 7) or h % 2 or wd % 2:
         return conv2d(p, x, stride=2)
     xq = jnp.pad(x, ((0, 0), (4, 2), (4, 2), (0, 0)))
     hq, wq = h + 6, wd + 6

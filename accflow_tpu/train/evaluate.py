@@ -75,8 +75,8 @@ def evaluate_cvo(
     METRIC aggregation still follows `batch` exactly. Default: the
     largest divisor of `batch` that is <= 8 (measured to fit at 512^2).
 
-    data_parallel: when more than one device is visible and micro_batch
-    divides the device count, each compiled call is SPMD batch-sharded
+    data_parallel: when more than one device is visible and the device
+    count divides micro_batch, each compiled call is SPMD batch-sharded
     over the data mesh (params replicated, samples split — the serving
     scale-out path; the reference's DataParallel equivalent at eval
     time). Metrics are unchanged; a single chip is a no-op.
@@ -191,7 +191,9 @@ def evaluate_cvo(
                 break
             mb = {k: v[m0 : m0 + micro_batch] for k, v in b.items()}
             if shard_in is not None:
-                mb = {k: shard_in(np.asarray(v)) for k, v in mb.items()}
+                # device_put of the already-resident slice is a
+                # device-to-device reshard — no host round trip.
+                mb = {k: shard_in(v) for k, v in mb.items()}
             epe_all, epe_occ, epe_vis = eval_batch(
                 params, acc_params, mb["imgs"], mb["bflows"], mb["fflows"]
             )

@@ -99,8 +99,10 @@ def run_quality():
                              h=qsize, w=qsize)
 
     # Size epochs so the OneCycle schedule spans the steps actually run
-    # (stopping mid-warmup would leave the model barely trained).
-    spe = num_train // 6 + 1  # sample_per_epoch at batch 6 on one chip
+    # (stopping mid-warmup would leave the model barely trained). Both
+    # engines train on the clean+final CONCAT split, so one epoch is
+    # 2*num_train samples (engine.py sample_per_epoch).
+    spe = 2 * num_train // 6 + 1  # sample_per_epoch at batch 6 on one chip
     common = dict(
         dataset_root=root, batch_per_gpu=6, image_size=[qsize, qsize],
         lr=2e-4, wdecay=1e-5, epsilon=1e-8, clip=1.0,
@@ -118,8 +120,11 @@ def run_quality():
                    max_steps=steps)
     ofe_params = ft.params
     print(f"[quality] training accumulator for {steps} steps")
+    ta_resume = (
+        "auto" if reuse and os.path.isdir(common["ckpt_dir"]) else None
+    )
     ta = train_acc(AttrDict(dict(common, exp_name="Acc+RAFT-synth",
-                                 ofe_params=ofe_params)),
+                                 ofe_params=ofe_params, resume=ta_resume)),
                    max_steps=steps)
     acc_params = ta.params
 

@@ -37,8 +37,14 @@ def main():
         # BENCH_UNROLL: GRU-scan unroll under grad (default 1 — unlike
         # serving, the unrolled scan changes the saved-activation layout).
         scan_unroll=int(os.environ.get("BENCH_UNROLL", "1")),
+        corr_lookup=os.environ.get("BENCH_LOOKUP", "fused"),
     )
-    acfg = AccFlowConfig(compute_dtype="bfloat16")
+    acfg = AccFlowConfig(
+        compute_dtype="bfloat16",
+        # BENCH_ACC_UNROLL: unroll the 5-cell accumulation scan (the
+        # differentiated one; its boundary ops trace at ~26 ms/step).
+        acc_unroll=int(os.environ.get("BENCH_ACC_UNROLL", "1")),
+    )
     ofe_params = est.init(jax.random.PRNGKey(0))
     acc_params = init_accflow(jax.random.PRNGKey(1), acfg)
 

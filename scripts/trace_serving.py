@@ -85,7 +85,11 @@ def parse():
     # loops) span their children and would double-count.
     def is_container(name):
         base = name.split(".")[0].split("(")[0]
-        return base.startswith("jit_") or base in ("while", "body", "condition")
+        # Bare-numeric names are module/program envelope events (they span
+        # a whole executable run and carry no source/long_name) — skip,
+        # they would double-count every leaf op under them.
+        return (base.startswith("jit_") or base.isdigit()
+                or base in ("while", "body", "condition"))
 
     per_src = defaultdict(lambda: [0.0, 0, 0.0, 0.0])  # ms, count, GB, GFLOP
     # TRACE_DETAIL=<source substring>: also aggregate matching ops by their

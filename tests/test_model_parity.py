@@ -294,6 +294,18 @@ def test_accflow_forward_direction():
     assert fwd4.shape == (2, 1, 128, 128, 2)
     assert np.isfinite(np.asarray(fwd4)).all()
 
+    # Fused F0N (default; hoisted OFE/context/emap/flow-encodes, cells-only
+    # scan) == stepwise F0N, including the T>3 scan path.
+    fwd4_step = accflow_forward(
+        acc_params, ofe_fn, frames,
+        AccFlowConfig(
+            compute_dtype="float32", direction="forward", fused_ofe=False
+        ),
+    )
+    np.testing.assert_allclose(
+        np.asarray(fwd4), np.asarray(fwd4_step), rtol=1e-5, atol=1e-5
+    )
+
     with pytest.raises(ValueError):
         accflow_forward(
             acc_params, ofe_fn, frames,
