@@ -1,0 +1,191 @@
+"""Flow inference on raw image frames (demo CLI).
+
+The reference repo has no end-user inference tool — its only consumers are
+the CVO/Sintel benchmark loops (test_cvo.py:132-166); upstream RAFT's
+demo.py was dropped when the code was vendored. This CLI closes that gap
+for users switching over: point it at a directory of frames (or an
+explicit file list) and get .flo flows plus Middlebury-color PNGs.
+
+    # consecutive-pair flows f_{i->i+1} over a frame directory,
+    # warm-started between pairs (streaming mode)
+    python -m accflow_tpu.cli.demo --frames demo/ --ofe raft \
+        --ofe_ckpt checkpoints/raft-things.pth --out out/ --warm_start
+
+    # long-range flows F_{i->0} by backward accumulation over the clip
+    # (reference AccFlow semantics, networks/AccFlow_.py:157-175)
+    python -m accflow_tpu.cli.demo --frames demo/ --mode long \
+        --ofe raft --acc_ckpt checkpoints/acc+raft-things.pth --out out/
+
+Frames are sorted lexicographically; any size is accepted (replicate-padded
+to /8 per the reference InputPadder and unpadded on output). Images are
+normalized 2*(x/255)-1 exactly like the protocol preprocess
+(test_cvo.py:32-50).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import os.path as osp
+
+
+IMG_EXTS = (".png", ".jpg", ".jpeg", ".ppm")
+
+
+def collect_frames(paths):
+    """Expand dir-or-file arguments into a sorted list of image paths."""
+    files = []
+    for p in paths:
+        if osp.isdir(p):
+            files.extend(
+                osp.join(p, f)
+                for f in sorted(os.listdir(p))
+                if f.lower().endswith(IMG_EXTS)
+            )
+        else:
+            files.append(p)
+    if len(files) < 2:
+        raise SystemExit(f"need at least 2 frames, found {len(files)}: {paths}")
+    return files
+
+
+def load_frames(files):
+    """Read frames -> (T, 1, H, W, 3) float32 normalized to [-1, 1]."""
+    import numpy as np
+
+    from accflow_tpu.utils.frame_io import read_gen
+
+    imgs = []
+    for f in files:
+        a = np.asarray(read_gen(f)).astype(np.float32)
+        if a.ndim == 2:  # grayscale
+            a = np.stack([a] * 3, axis=-1)
+        a = a[..., :3]  # drop alpha
+        imgs.append(2.0 * (a / 255.0) - 1.0)
+    shapes = {a.shape for a in imgs}
+    if len(shapes) != 1:
+        raise SystemExit(f"frames disagree in size: {sorted(shapes)}")
+    return np.stack(imgs, axis=0)[:, None]
+
+
+def save_flow(out_dir, name, flow, viz: bool):
+    import numpy as np
+
+    from accflow_tpu.utils.frame_io import write_flow
+
+    flow = np.asarray(flow, dtype=np.float32)
+    write_flow(osp.join(out_dir, name + ".flo"), flow)
+    if viz:
+        from PIL import Image
+
+        from accflow_tpu.utils.flow_viz import flow_to_image
+
+        Image.fromarray(flow_to_image(flow)).save(
+            osp.join(out_dir, name + ".png")
+        )
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--frames", type=str, nargs="+", required=True,
+                        help="frame directory or explicit image files "
+                        "(sorted lexicographically)")
+    parser.add_argument("--out", type=str, default="./demo_out")
+    parser.add_argument("--mode", type=str, choices=["pairs", "long"],
+                        default="pairs",
+                        help="pairs: consecutive-pair flows f_{i->i+1}; "
+                        "long: accumulated long-range flows F_{i->0} "
+                        "(needs --acc_ckpt weights and >= 3 frames)")
+    parser.add_argument("--ofe", type=str, choices=["raft", "gma"],
+                        default="raft")
+    parser.add_argument("--ofe_ckpt", type=str, default=None)
+    parser.add_argument("--acc_ckpt", type=str, default=None)
+    parser.add_argument("--iters", type=int, default=12)
+    parser.add_argument("--compute-dtype", type=str, default="bfloat16")
+    parser.add_argument("--warm_start", action="store_true",
+                        help="pairs mode: initialize each solve from the "
+                        "previous flow advected along itself (streaming)")
+    parser.add_argument("--no_viz", action="store_true",
+                        help="skip the flow-colour PNGs, write .flo only")
+    args = parser.parse_args(argv)
+
+    files = collect_frames(args.frames)
+    frames = load_frames(files)
+    t = frames.shape[0]
+    print(f"[demo] {t} frames {frames.shape[2]}x{frames.shape[3]} "
+          f"from {args.frames}")
+
+    import jax
+    import numpy as np
+
+    from accflow_tpu.models import build_flow_estimator
+    from accflow_tpu.ops.padding import InputPadder
+
+    est = build_flow_estimator(args.ofe, compute_dtype=args.compute_dtype)
+    template = est.init(jax.random.PRNGKey(0))
+    acc_params = None
+    if args.mode == "long":
+        from accflow_tpu.models.accflow import AccFlowConfig, init_accflow
+
+        acfg = AccFlowConfig(
+            compute_dtype=args.compute_dtype, ofe_iters=args.iters
+        )
+        acc_template = init_accflow(jax.random.PRNGKey(1), acfg)
+        if args.acc_ckpt:
+            from accflow_tpu.convert.torch_weights import load_accflow_checkpoint
+
+            acc_params, params = load_accflow_checkpoint(
+                args.acc_ckpt, acc_template, template
+            )
+        else:
+            print("[demo] WARNING: no --acc_ckpt; using random weights")
+            acc_params, params = acc_template, template
+    elif args.ofe_ckpt:
+        from accflow_tpu.convert.torch_weights import load_flow_estimator_checkpoint
+
+        params = load_flow_estimator_checkpoint(args.ofe_ckpt, template)
+    else:
+        print("[demo] WARNING: no --ofe_ckpt; using random weights")
+        params = template
+
+    padder = InputPadder(frames.shape, mode="sintel")
+    padded = np.stack([np.asarray(padder.pad(f)[0]) for f in frames], axis=0)
+
+    os.makedirs(args.out, exist_ok=True)
+    stem = lambda i: osp.splitext(osp.basename(files[i]))[0]
+
+    if args.mode == "long":
+        if t < 3:
+            raise SystemExit("long mode needs >= 3 frames (got "
+                             f"{t}; accumulation starts at F_{{2->0}})")
+        from accflow_tpu.models.accflow import accflow_forward
+
+        ofe_fn = lambda a, b, flow_init=None: est.forward(
+            params, a, b, iters=args.iters, flow_init=flow_init,
+            final_only=True,
+        )["flow_up"]
+        outs = accflow_forward(
+            acc_params, ofe_fn, padded, acfg,
+            ofe_pairs=est.pairs_fn(params, iters=args.iters),
+        )
+        for i in range(outs.shape[0]):
+            flow = np.asarray(padder.unpad(outs[i]))[0]
+            save_flow(args.out, f"{stem(i + 2)}_to_{stem(0)}", flow,
+                      viz=not args.no_viz)
+        print(f"[demo] wrote {outs.shape[0]} accumulated flows to {args.out}")
+    else:
+        from accflow_tpu.train.evaluate import evaluate_sequence
+
+        flows = evaluate_sequence(
+            est, params, padded, iters=args.iters,
+            warm_start=args.warm_start,
+        )
+        for i in range(flows.shape[0]):
+            flow = np.asarray(padder.unpad(flows[i]))[0]
+            save_flow(args.out, f"{stem(i)}_to_{stem(i + 1)}", flow,
+                      viz=not args.no_viz)
+        print(f"[demo] wrote {flows.shape[0]} pair flows to {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,75 @@
+"""Demo CLI: flow inference over a directory of raw image frames.
+
+Covers both modes end-to-end (random weights, tiny frames, odd sizes so
+the InputPadder pad/unpad path is exercised): consecutive pairs with warm
+start, and long-range accumulation.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def frame_dir(tmp_path_factory):
+    from PIL import Image
+
+    d = tmp_path_factory.mktemp("demo_frames")
+    rng = np.random.default_rng(0)
+    base = rng.integers(0, 255, (36, 44, 3), dtype=np.uint8)
+    for i in range(3):
+        # shift the pattern so flows are non-degenerate
+        img = np.roll(base, shift=2 * i, axis=1)
+        Image.fromarray(img).save(d / f"frame_{i:03d}.png")
+    return str(d)
+
+
+def _read(out_dir, name):
+    from accflow_tpu.utils.frame_io import read_flow
+
+    path = os.path.join(out_dir, name)
+    assert os.path.exists(path), sorted(os.listdir(out_dir))
+    return read_flow(path)
+
+
+def test_demo_pairs_mode(frame_dir, tmp_path):
+    from accflow_tpu.cli.demo import main
+
+    out = str(tmp_path / "out_pairs")
+    main(["--frames", frame_dir, "--out", out, "--iters", "2",
+          "--warm_start", "--compute-dtype", "float32"])
+    for a, b in (("000", "001"), ("001", "002")):
+        flow = _read(out, f"frame_{a}_to_frame_{b}.flo")
+        assert flow.shape == (36, 44, 2)
+        assert np.isfinite(flow).all()
+        # viz PNG written alongside by default
+        assert os.path.exists(
+            os.path.join(out, f"frame_{a}_to_frame_{b}.png")
+        )
+
+
+def test_demo_long_mode(frame_dir, tmp_path):
+    from accflow_tpu.cli.demo import main
+
+    out = str(tmp_path / "out_long")
+    main(["--frames", frame_dir, "--out", out, "--mode", "long",
+          "--iters", "2", "--no_viz", "--compute-dtype", "float32"])
+    flow = _read(out, "frame_002_to_frame_000.flo")
+    assert flow.shape == (36, 44, 2)
+    assert np.isfinite(flow).all()
+    assert not os.path.exists(
+        os.path.join(out, "frame_002_to_frame_000.png")
+    )
+
+
+def test_demo_rejects_single_frame(tmp_path):
+    from PIL import Image
+
+    from accflow_tpu.cli.demo import collect_frames
+
+    d = tmp_path / "one"
+    d.mkdir()
+    Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(d / "a.png")
+    with pytest.raises(SystemExit):
+        collect_frames([str(d)])
