@@ -16,6 +16,11 @@ explicit file list) and get .flo flows plus Middlebury-color PNGs.
     python -m accflow_tpu.cli.demo --frames demo/ --mode long \
         --ofe raft --acc_ckpt checkpoints/acc+raft-things.pth --out out/
 
+    # same, but from an exported StableHLO serving artifact — no model
+    # code or checkpoint needed at inference time (cli.export_serving)
+    python -m accflow_tpu.cli.demo --frames demo/ \
+        --artifact acc_raft_512.sflow --out out/
+
 Frames are sorted lexicographically; any size is accepted (replicate-padded
 to /8 per the reference InputPadder and unpadded on output). Images are
 normalized 2*(x/255)-1 exactly like the protocol preprocess
@@ -85,6 +90,56 @@ def save_flow(out_dir, name, flow, viz: bool):
         )
 
 
+def run_artifact(args):
+    """Long-range inference through a serialized serving artifact.
+
+    The artifact's input spec (T, N, H, W, 3) is fixed at export time:
+    exactly T frames are consumed (extras are reported and dropped), the
+    frame size must match H x W after /8 padding, and a batch dim of N
+    is filled by replication (output batch slot 0 is written)."""
+    import numpy as np
+
+    from accflow_tpu.serving import load_exported
+
+    exported = load_exported(args.artifact)
+    (spec,) = exported.in_avals
+    t, n, h, w, _ = spec.shape
+
+    files = collect_frames(args.frames)
+    if len(files) < t:
+        raise SystemExit(
+            f"artifact expects a {t}-frame clip, found {len(files)} frames"
+        )
+    if len(files) > t:
+        print(f"[demo] artifact clip length is {t}; using the first {t} "
+              f"of {len(files)} frames")
+        files = files[:t]
+    frames = load_frames(files)
+
+    from accflow_tpu.ops.padding import InputPadder
+
+    padder = InputPadder(frames.shape, mode="sintel")
+    padded = np.stack([np.asarray(padder.pad(f)[0]) for f in frames], axis=0)
+    if padded.shape[2:4] != (h, w):
+        raise SystemExit(
+            f"artifact was exported for {h}x{w} frames; these are "
+            f"{padded.shape[2]}x{padded.shape[3]} after /8 padding — "
+            "re-export with --size to match"
+        )
+    clip = np.broadcast_to(padded, (t, n, h, w, 3)).astype(np.float32)
+
+    outs = exported.call(clip)
+
+    os.makedirs(args.out, exist_ok=True)
+    stem = lambda i: osp.splitext(osp.basename(files[i]))[0]
+    for i in range(t - 2):
+        flow = np.asarray(padder.unpad(outs[i]))[0]
+        save_flow(args.out, f"{stem(i + 2)}_to_{stem(0)}", flow,
+                  viz=not args.no_viz)
+    print(f"[demo] wrote {t - 2} accumulated flows to {args.out} "
+          f"(artifact {args.artifact})")
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--frames", type=str, nargs="+", required=True,
@@ -107,7 +162,14 @@ def main(argv=None):
                         "previous flow advected along itself (streaming)")
     parser.add_argument("--no_viz", action="store_true",
                         help="skip the flow-colour PNGs, write .flo only")
+    parser.add_argument("--artifact", type=str, default=None,
+                        help="exported StableHLO serving artifact "
+                        "(cli.export_serving); implies long-range mode "
+                        "with the clip shape baked into the artifact")
     args = parser.parse_args(argv)
+
+    if args.artifact:
+        return run_artifact(args)
 
     files = collect_frames(args.frames)
     frames = load_frames(files)

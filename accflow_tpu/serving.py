@@ -60,8 +60,13 @@ def save_artifact(exported, path: str) -> None:
         f.write(exported.serialize())
 
 
+def load_exported(path: str):
+    """Load a serialized artifact as the jax.export.Exported object
+    (exposes in_avals for shape introspection; .call to invoke)."""
+    with open(path, "rb") as f:
+        return jax.export.deserialize(bytearray(f.read()))
+
+
 def load_artifact(path: str):
     """Load a serialized artifact; returns a callable (images) -> flows."""
-    with open(path, "rb") as f:
-        exported = jax.export.deserialize(bytearray(f.read()))
-    return exported.call
+    return load_exported(path).call

@@ -63,6 +63,46 @@ def test_demo_long_mode(frame_dir, tmp_path):
     )
 
 
+def test_demo_artifact_mode(frame_dir, tmp_path):
+    """Export a serving artifact, then run the demo purely from it (no
+    model code / checkpoint on the inference path)."""
+    import jax
+
+    from accflow_tpu.cli.demo import main
+    from accflow_tpu.models import build_flow_estimator
+    from accflow_tpu.models.accflow import AccFlowConfig, init_accflow
+    from accflow_tpu.serving import export_serving, save_artifact
+
+    est = build_flow_estimator("raft", compute_dtype="float32", iters=2)
+    acfg = AccFlowConfig(compute_dtype="float32")
+    # 36x44 frames pad to 40x48 under the sintel-mode InputPadder.
+    exported = export_serving(
+        est, acfg, est.init(jax.random.PRNGKey(0)),
+        init_accflow(jax.random.PRNGKey(1), acfg), (3, 1, 40, 48, 3),
+    )
+    path = str(tmp_path / "acc_raft_tiny.sflow")
+    save_artifact(exported, path)
+
+    out = str(tmp_path / "out_artifact")
+    main(["--frames", frame_dir, "--out", out, "--artifact", path,
+          "--no_viz"])
+    flow = _read(out, "frame_002_to_frame_000.flo")
+    assert flow.shape == (36, 44, 2)
+    assert np.isfinite(flow).all()
+
+    # Size mismatch is a clear user error, not a crash.
+    with pytest.raises(SystemExit, match="re-export"):
+        from PIL import Image
+
+        d = tmp_path / "big"
+        d.mkdir()
+        for i in range(3):
+            Image.fromarray(
+                np.zeros((64, 64, 3), np.uint8)
+            ).save(d / f"f{i}.png")
+        main(["--frames", str(d), "--out", out, "--artifact", path])
+
+
 def test_demo_rejects_single_frame(tmp_path):
     from PIL import Image
 
