@@ -24,7 +24,8 @@ explicit file list) and get .flo flows plus Middlebury-color PNGs.
 Frames are sorted lexicographically; any size is accepted (replicate-padded
 to /8 per the reference InputPadder and unpadded on output). Images are
 normalized 2*(x/255)-1 exactly like the protocol preprocess
-(test_cvo.py:32-50).
+(test_cvo.py:32-50). --video extracts frames from a video file first
+(OpenCV; --video_stride/--video_max control the sampling).
 """
 
 from __future__ import annotations
@@ -35,6 +36,31 @@ import os.path as osp
 
 
 IMG_EXTS = (".png", ".jpg", ".jpeg", ".ppm")
+
+
+def extract_video_frames(video: str, out_dir: str, stride: int, limit: int):
+    """Decode every `stride`-th frame of a video to PNGs (up to `limit`);
+    returns the sorted file list."""
+    import cv2
+
+    cap = cv2.VideoCapture(video)
+    if not cap.isOpened():
+        raise SystemExit(f"cannot open video: {video}")
+    os.makedirs(out_dir, exist_ok=True)
+    files, idx = [], 0
+    while len(files) < limit:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        if idx % stride == 0:
+            path = osp.join(out_dir, f"frame_{idx:06d}.png")
+            cv2.imwrite(path, frame)  # BGR on disk; read back as RGB below
+            files.append(path)
+        idx += 1
+    cap.release()
+    if len(files) < 2:
+        raise SystemExit(f"extracted only {len(files)} frames from {video}")
+    return files
 
 
 def collect_frames(paths):
@@ -142,9 +168,17 @@ def run_artifact(args):
 
 def main(argv=None):
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("--frames", type=str, nargs="+", required=True,
+    parser.add_argument("--frames", type=str, nargs="+", default=None,
                         help="frame directory or explicit image files "
                         "(sorted lexicographically)")
+    parser.add_argument("--video", type=str, default=None,
+                        help="video file to extract frames from instead "
+                        "of --frames (OpenCV decode)")
+    parser.add_argument("--video_stride", type=int, default=1,
+                        help="keep every Nth video frame")
+    parser.add_argument("--video_max", type=int, default=7,
+                        help="max frames to extract from --video "
+                        "(default 7, one reference clip)")
     parser.add_argument("--out", type=str, default="./demo_out")
     parser.add_argument("--mode", type=str, choices=["pairs", "long"],
                         default="pairs",
@@ -167,6 +201,14 @@ def main(argv=None):
                         "(cli.export_serving); implies long-range mode "
                         "with the clip shape baked into the artifact")
     args = parser.parse_args(argv)
+
+    if (args.video is None) == (args.frames is None):
+        raise SystemExit("exactly one of --frames / --video is required")
+    if args.video:
+        args.frames = extract_video_frames(
+            args.video, osp.join(args.out, "_video_frames"),
+            args.video_stride, args.video_max,
+        )
 
     if args.artifact:
         return run_artifact(args)

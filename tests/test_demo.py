@@ -103,6 +103,43 @@ def test_demo_artifact_mode(frame_dir, tmp_path):
         main(["--frames", str(d), "--out", out, "--artifact", path])
 
 
+def test_demo_video_extraction(tmp_path):
+    """--video: frames come out of OpenCV decode in RGB order, stride and
+    cap respected; --frames/--video are mutually exclusive."""
+    cv2 = pytest.importorskip("cv2")
+
+    from accflow_tpu.cli.demo import extract_video_frames, main
+    from accflow_tpu.utils.frame_io import read_gen
+
+    path = str(tmp_path / "clip.avi")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), 10, (48, 32))
+    rng = np.random.default_rng(0)
+    frames = []
+    for _ in range(6):
+        rgb = rng.integers(0, 255, (32, 48, 3), dtype=np.uint8)
+        frames.append(rgb)
+        w.write(rgb[..., ::-1])  # writer expects BGR
+    w.release()
+
+    files = extract_video_frames(path, str(tmp_path / "fr"), stride=2,
+                                 limit=3)
+    assert len(files) == 3
+    assert [f.split("frame_")[-1] for f in files] == [
+        "000000.png", "000002.png", "000004.png"
+    ]
+    # RGB round trip (MJPG is lossy; just check gross channel order)
+    got = np.asarray(read_gen(files[0])).astype(np.int32)
+    want = frames[0].astype(np.int32)
+    direct = np.abs(got - want).mean()
+    swapped = np.abs(got[..., ::-1] - want).mean()
+    assert direct < swapped
+
+    with pytest.raises(SystemExit, match="exactly one"):
+        main(["--frames", "x", "--video", "y", "--out", str(tmp_path)])
+    with pytest.raises(SystemExit, match="exactly one"):
+        main(["--out", str(tmp_path)])
+
+
 def test_demo_rejects_single_frame(tmp_path):
     from PIL import Image
 
