@@ -47,7 +47,7 @@ from accflow_tpu.models.raft import (
 )
 from accflow_tpu.nn.layers import conv2d, init_conv, relu
 from accflow_tpu.ops.corr import (
-    build_corr_pyramid,
+    build_corr_operands,
     lookup,
     lookup_corr_split,
     lookup_corr_split_packed,
@@ -265,8 +265,9 @@ def gma_forward(
     fmaps = basic_encoder(params["fnet"], imgs, "instance",
                           stem_s2d=cfg.stem_s2d)
     fmap1, fmap2 = fmaps[:n], fmaps[n:]
-    pyramid = build_corr_pyramid(
+    pyramid = build_corr_operands(
         fmap1.astype(jnp.float32), fmap2.astype(jnp.float32), cfg.corr_levels,
+        cfg.corr_lookup,
         precision=cfg.corr_precision, dtype=jnp.dtype(cfg.corr_volume_dtype),
     )
 
@@ -452,8 +453,9 @@ def gma_pairs_forward(
     ).reshape(len(used), n, h // 8, w // 8, -1)
     fmap1 = fmaps[jnp.asarray([pos[i] for i in src_idx])].reshape(p * n, h // 8, w // 8, -1)
     fmap2 = fmaps[jnp.asarray([pos[i] for i in dst_idx])].reshape(p * n, h // 8, w // 8, -1)
-    pyramid = build_corr_pyramid(
+    pyramid = build_corr_operands(
         fmap1.astype(jnp.float32), fmap2.astype(jnp.float32), cfg.corr_levels,
+        cfg.corr_lookup,
         precision=cfg.corr_precision, dtype=jnp.dtype(cfg.corr_volume_dtype),
     )
 

@@ -37,7 +37,7 @@ from accflow_tpu.models.encoders import (
 )
 from accflow_tpu.nn.layers import conv2d, init_conv, relu
 from accflow_tpu.ops.corr import (
-    build_corr_pyramid,
+    build_corr_operands,
     lookup,
     lookup_corr_split,
     lookup_corr_split_packed,
@@ -428,8 +428,9 @@ def raft_features(params: Params, image1, image2, cfg: RAFTConfig, train: bool =
     n = image1.shape[0]
     fmaps = raft_fnet(params, jnp.concatenate([image1, image2], axis=0), cfg)
     fmap1, fmap2 = fmaps[:n], fmaps[n:]
-    pyramid = build_corr_pyramid(
+    pyramid = build_corr_operands(
         fmap1.astype(jnp.float32), fmap2.astype(jnp.float32), cfg.corr_levels,
+        cfg.corr_lookup,
         precision=cfg.corr_precision, dtype=jnp.dtype(cfg.corr_volume_dtype),
     )
     net, inp = raft_cnet(params, image1, cfg, train)
@@ -529,6 +530,7 @@ def raft_iterate(
             impl = (
                 cfg.corr_lookup
                 if cfg.corr_lookup in ("mm", "rows", "patch", "gather", "pallas")
+                or cfg.corr_lookup.split(":", 1)[0] == "ondemand"
                 else "mm"
             )
             corr = lookup(
@@ -672,8 +674,9 @@ def raft_pairs_forward(
 
     fmap1 = fmaps[jnp.asarray([pos[i] for i in src_idx])].reshape(p * n, h // 8, w // 8, -1)
     fmap2 = fmaps[jnp.asarray([pos[i] for i in dst_idx])].reshape(p * n, h // 8, w // 8, -1)
-    pyramid = build_corr_pyramid(
+    pyramid = build_corr_operands(
         fmap1.astype(jnp.float32), fmap2.astype(jnp.float32), cfg.corr_levels,
+        cfg.corr_lookup,
         precision=cfg.corr_precision, dtype=jnp.dtype(cfg.corr_volume_dtype),
     )
 

@@ -8,8 +8,12 @@ from accflow_tpu.ops.sampling import backwarp, bilinear_sample  # noqa: F401
 from accflow_tpu.ops.upsample import convex_upsample, neighborhood3x3  # noqa: F401
 from accflow_tpu.ops.corr import (  # noqa: F401
     CorrPyramid,
+    OnDemandCorr,
+    build_corr_on_demand,
+    build_corr_operands,
     build_corr_pyramid,
     lookup,
+    lookup_corr_on_demand,
     lookup_corr,
     lookup_corr_gather,
     lookup_corr_patch,

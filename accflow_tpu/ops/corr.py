@@ -103,6 +103,24 @@ def build_corr_pyramid(
     return CorrPyramid(levels=tuple(levels), h1=h, w1=w)
 
 
+def build_corr_operands(
+    fmap1: jnp.ndarray,
+    fmap2: jnp.ndarray,
+    num_levels: int,
+    lookup_impl: str,
+    precision: str = "highest",
+    dtype=jnp.float32,
+):
+    """Build whatever the chosen lookup impl consumes: on-demand feature
+    operands for impl 'ondemand[:chunk]', a materialized volume pyramid
+    for everything else. Shared by the RAFT/GMA feature stages."""
+    if lookup_impl.split(":", 1)[0] == "ondemand":
+        return build_corr_on_demand(fmap1, fmap2, num_levels)
+    return build_corr_pyramid(
+        fmap1, fmap2, num_levels, precision=precision, dtype=dtype
+    )
+
+
 def build_corr_single_scale(
     fmap1: jnp.ndarray, fmap2: jnp.ndarray
 ) -> CorrPyramid:
@@ -110,6 +128,114 @@ def build_corr_single_scale(
     networks/gma/corr.py:61-99 — an unused ablation variant, kept for API
     completeness). Same layout as the pyramid with one level."""
     return build_corr_pyramid(fmap1, fmap2, num_levels=1)
+
+
+class OnDemandCorr(NamedTuple):
+    """Correlation operands that store FEATURES, not the volume.
+
+    The reference carries an `alternate_corr` flag for a memory-efficient
+    CUDA lookup (networks/raft/raft.py:45-46 — dead upstream: the kernel
+    was never shipped with AccFlow). This is the TPU-native equivalent:
+    keep f1 plus the 2x-pooled f2 feature pyramid (O(HW·C) memory) and
+    recompute each query's correlation rows on the MXU at every lookup,
+    streamed over query chunks so the O((HW)^2) volume never materializes.
+    Exactly equal to building the volume f32 and running lookup_corr
+    (same einsum contractions in the same order).
+
+    f1: (B, H1*W1, C) float32 query features (UNscaled; 1/sqrt(C) is
+        applied after the chunk matmul, matching build_corr_pyramid).
+    f2_levels: per level, (B, Hl*Wl, C) float32 pooled key features.
+    shapes: per level (Hl, Wl)."""
+
+    f1: jnp.ndarray
+    f2_levels: tuple[jnp.ndarray, ...]
+    shapes: tuple[tuple[int, int], ...]
+    h1: int
+    w1: int
+
+
+def build_corr_on_demand(
+    fmap1: jnp.ndarray, fmap2: jnp.ndarray, num_levels: int = 4
+) -> OnDemandCorr:
+    """fmap1, fmap2: (B, H, W, C) -> on-demand operands (see OnDemandCorr).
+
+    Cost: num_levels avg-pools of the small f2 map — no all-pairs matmul
+    happens here; it moves into lookup_corr_on_demand."""
+    b, h, w, c = fmap1.shape
+    f1 = fmap1.reshape(b, h * w, c).astype(jnp.float32)
+    levels, shapes = [], []
+    f2l = fmap2.astype(jnp.float32)
+    for _ in range(num_levels):
+        _, hl, wl, _ = f2l.shape
+        levels.append(f2l.reshape(b, hl * wl, c))
+        shapes.append((hl, wl))
+        f2l = avg_pool2_nhwc(f2l)
+    return OnDemandCorr(f1, tuple(levels), tuple(shapes), h, w)
+
+
+def lookup_corr_on_demand(
+    od: OnDemandCorr,
+    coords: jnp.ndarray,
+    radius: int = 4,
+    chunk: int = 1024,
+    precision: str = "highest",
+) -> jnp.ndarray:
+    """Streaming corr lookup: recompute + tent-contract per query chunk.
+
+    For each chunk of queries the full (Qc, Hl, Wl) correlation rows are
+    rebuilt with one MXU matmul and immediately consumed by the separable
+    tent contractions of lookup_corr; peak live memory is one chunk's rows
+    (chunk * sum(Hl*Wl) floats) instead of the whole volume. Chunks run
+    sequentially under lax.map; the chunk body is rematerialized
+    (jax.checkpoint) so the backward pass also never stores the volume —
+    usable as a memory-bounded TRAINING path, not just inference.
+
+    chunk: requested queries per chunk; rounded down to the largest
+    divisor of H*W so every chunk has one static shape.
+    Numerically identical to lookup_corr on a float32
+    build_corr_pyramid(precision=precision) volume."""
+    b, h, w, _ = coords.shape
+    num = 2 * radius + 1
+    qtot = h * w
+    chunk = max(1, min(int(chunk), qtot))
+    while qtot % chunk:
+        chunk -= 1
+    nch = qtot // chunk
+    c = od.f1.shape[-1]
+    inv_sqrt_c = 1.0 / jnp.sqrt(jnp.float32(c))
+    delta = jnp.linspace(-radius, radius, num, dtype=jnp.float32)
+
+    def one_chunk(f1c: jnp.ndarray, cc: jnp.ndarray) -> jnp.ndarray:
+        # f1c: (B, Qc, C) queries; cc: (B, Qc, 2) their lookup centers.
+        qc = b * chunk
+        cf = cc.reshape(qc, 2)
+        outs = []
+        for i, (f2l, (hl, wl)) in enumerate(zip(od.f2_levels, od.shapes)):
+            corr = jnp.einsum(
+                "bqc,bkc->bqk", f1c, f2l, precision=precision
+            ) * inv_sqrt_c
+            corr = corr.reshape(qc, hl, wl)
+            cx = cf[:, 0:1] / (2.0**i) + delta[None]
+            cy = cf[:, 1:2] / (2.0**i) + delta[None]
+            wx = _window_weights(cx, wl)  # (Qc, 9, wl)
+            wy = _window_weights(cy, hl)  # (Qc, 9, hl)
+            tmp = jnp.einsum("qby,qyx->qbx", wy, corr, precision=precision,
+                             preferred_element_type=jnp.float32)
+            out = jnp.einsum("qax,qbx->qab", wx, tmp, precision=precision,
+                             preferred_element_type=jnp.float32)
+            outs.append(out.reshape(b, chunk, num * num))
+        return jnp.concatenate(outs, axis=-1)  # (B, Qc, levels*num^2)
+
+    cf32 = coords.reshape(b, nch, chunk, 2).astype(jnp.float32)
+    if nch == 1:
+        out = one_chunk(od.f1, cf32[:, 0])[None]
+    else:
+        f1s = od.f1.reshape(b, nch, chunk, c).transpose(1, 0, 2, 3)
+        out = jax.lax.map(
+            lambda args: jax.checkpoint(one_chunk)(*args),
+            (f1s, cf32.transpose(1, 0, 2, 3)),
+        )  # (nch, B, Qc, levels*num^2)
+    return out.transpose(1, 0, 2, 3).reshape(b, h, w, -1)
 
 
 def lookup_corr_gather(
@@ -279,7 +405,24 @@ def lookup(
     precision: str = "highest",
 ) -> jnp.ndarray:
     """Dispatch over the lookup implementations (all numerically
-    equivalent; they differ only in how the work maps onto the TPU)."""
+    equivalent; they differ only in how the work maps onto the TPU).
+
+    impl "ondemand" (or "ondemand:<chunk>") requires `pyramid` to be an
+    OnDemandCorr from build_corr_on_demand; every other impl requires a
+    materialized CorrPyramid."""
+    if impl.split(":", 1)[0] == "ondemand":
+        if not isinstance(pyramid, OnDemandCorr):
+            raise TypeError(
+                "impl='ondemand' needs build_corr_on_demand operands, got "
+                f"{type(pyramid).__name__}"
+            )
+        chunk = int(impl.split(":", 1)[1]) if ":" in impl else 1024
+        return lookup_corr_on_demand(pyramid, coords, radius, chunk, precision)
+    if isinstance(pyramid, OnDemandCorr):
+        raise TypeError(
+            f"impl={impl!r} needs a materialized CorrPyramid; the model was "
+            "built with on-demand correlation operands"
+        )
     if impl == "mm":
         return lookup_corr(pyramid, coords, radius, precision)
     if impl == "pallas_fused":

@@ -1,0 +1,108 @@
+"""High-resolution serving bench: stored-volume vs on-demand correlation.
+
+The all-pairs correlation volume is O((HW/64)^2) floats per pair: ~85 MB
+at 512^2 but ~22 GB at 2048^2 — past ~1500^2 one 16 GB v5e cannot hold a
+single pair's volume, and the reference's answer (`alternate_corr`,
+networks/raft/raft.py:45-46) was never shipped. `corr_lookup=ondemand`
+(ops/corr.py::lookup_corr_on_demand) recomputes correlation rows per
+query chunk on the MXU instead, so memory stays O(HW*C + chunk*HW).
+
+Runs the AccFlow+RAFT serving step (bench.py protocol: 7-frame clips,
+12 OFE iters, bf16 compute) across (size, batch, lookup) configs in one
+process; a config whose volume does not fit prints OOM instead of a
+number. Filter with HIRES=name,name; K iterations via HIRES_K (default 2
+— hi-res clips are seconds each).
+
+    python scripts/bench_hires.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+FRAMES = 7
+K = int(os.environ.get("HIRES_K", "2"))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from accflow_tpu.models import build_flow_estimator
+    from accflow_tpu.models.accflow import AccFlowConfig, accflow_forward, init_accflow
+
+    acfg = AccFlowConfig(compute_dtype="bfloat16")
+
+    def clip_time(size, batch, lookup):
+        est = build_flow_estimator(
+            "raft", compute_dtype="bfloat16", corr_lookup=lookup, scan_unroll=4
+        )
+        ofe_params = est.init(jax.random.PRNGKey(0))
+        acc_params = init_accflow(jax.random.PRNGKey(1), acfg)
+        rng = np.random.default_rng(0)
+        images = jnp.asarray(
+            rng.uniform(-1.0, 1.0, (FRAMES, batch, size, size, 3)).astype(np.float32)
+        )
+
+        def run(acc_params, ofe_params, images):
+            ofe_fn = lambda a, b: est.forward(ofe_params, a, b, final_only=True)["flow_up"]
+            return accflow_forward(
+                acc_params, ofe_fn, images, acfg, ofe_pairs=est.pairs_fn(ofe_params)
+            )
+
+        def make_loop(k):
+            def loop(acc_params, ofe_params, images):
+                def body(i, carry):
+                    checksum, images = carry
+                    outs = run(acc_params, ofe_params, images)
+                    s = jnp.sum(outs[-1][0, 0, 0]).astype(jnp.float32)
+                    images = images + s * 1e-30
+                    return (checksum + s, images)
+
+                checksum, _ = jax.lax.fori_loop(0, k, body, (jnp.float32(0.0), images))
+                return checksum
+
+            return jax.jit(loop)
+
+        f1, f2 = make_loop(K), make_loop(2 * K)
+        float(f1(acc_params, ofe_params, images))
+        float(f2(acc_params, ofe_params, images))
+        t0 = time.perf_counter()
+        float(f1(acc_params, ofe_params, images))
+        t1 = time.perf_counter()
+        float(f2(acc_params, ofe_params, images))
+        t2 = time.perf_counter()
+        return max((t2 - t1) - (t1 - t0), 1e-9) / K / batch
+
+    configs = [
+        ("512_fused_b2", 512, 2, "fused"),
+        ("512_ondemand_b2", 512, 2, "ondemand"),
+        ("1024_fused_b1", 1024, 1, "fused"),
+        ("1024_ondemand_b1", 1024, 1, "ondemand"),
+        ("2048_fused_b1", 2048, 1, "fused"),
+        ("2048_ondemand_b1", 2048, 1, "ondemand"),
+    ]
+    sel = os.environ.get("HIRES", "")
+    if sel:
+        names = sel.split(",")
+        configs = [c for c in configs if c[0] in names]
+
+    for name, size, batch, lookup in configs:
+        try:
+            t = clip_time(size, batch, lookup)
+            print(
+                f"{name:18s} {t*1e3:9.1f} ms/clip  ({FRAMES/t:6.2f} frames/s)",
+                flush=True,
+            )
+        except Exception as e:  # RESOURCE_EXHAUSTED etc. — keep sweeping
+            msg = str(e).splitlines()[0][:120]
+            kind = "OOM" if "RESOURCE_EXHAUSTED" in str(e) or "emory" in str(e) else "FAIL"
+            print(f"{name:18s} {kind}: {msg}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

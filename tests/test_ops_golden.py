@@ -306,6 +306,94 @@ def test_lookup_corr_mm_equals_gather(rng):
     np.testing.assert_allclose(fast, ref, rtol=1e-4, atol=1e-4)
 
 
+def test_lookup_corr_on_demand_equals_mm(rng):
+    """The streaming (volume-free) lookup is numerically identical to the
+    materialized-volume mm lookup, for every chunking (incl. non-divisor
+    requests, which round down to a divisor) — and it differentiates
+    (memory-bounded training path: the chunk body is rematerialized)."""
+    import jax
+
+    b, h, w, c = 2, 16, 16, 16
+    f1 = rng.standard_normal((b, h, w, c)).astype(np.float32)
+    f2 = rng.standard_normal((b, h, w, c)).astype(np.float32)
+    coords = (
+        np.asarray(ops.coords_grid(b, h, w))
+        + rng.uniform(-20, 20, size=(b, h, w, 2)).astype(np.float32)
+    )
+    pyr = ops.build_corr_pyramid(jnp.asarray(f1), jnp.asarray(f2), num_levels=4)
+    ref = np.asarray(ops.lookup_corr(pyr, jnp.asarray(coords), radius=4))
+
+    od = ops.build_corr_on_demand(jnp.asarray(f1), jnp.asarray(f2), num_levels=4)
+    for chunk in (256, 64, 37, 1000):  # 37/1000 -> non-divisors round down
+        got = np.asarray(
+            ops.lookup_corr_on_demand(od, jnp.asarray(coords), radius=4, chunk=chunk)
+        )
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+    # dispatch surface + wrong-operand errors
+    got = np.asarray(ops.lookup(od, jnp.asarray(coords), radius=4, impl="ondemand:64"))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+    with pytest.raises(TypeError):
+        ops.lookup(pyr, jnp.asarray(coords), radius=4, impl="ondemand")
+    with pytest.raises(TypeError):
+        ops.lookup(od, jnp.asarray(coords), radius=4, impl="mm")
+
+    # gradients flow through the remat'd chunked path (wrt both features)
+    def loss_od(a, b_):
+        odx = ops.build_corr_on_demand(a, b_, num_levels=4)
+        return ops.lookup_corr_on_demand(odx, jnp.asarray(coords), radius=4, chunk=64).sum()
+
+    def loss_mm(a, b_):
+        pyrx = ops.build_corr_pyramid(a, b_, num_levels=4)
+        return ops.lookup_corr(pyrx, jnp.asarray(coords), radius=4).sum()
+
+    g_od = jax.grad(loss_od, argnums=(0, 1))(jnp.asarray(f1), jnp.asarray(f2))
+    g_mm = jax.grad(loss_mm, argnums=(0, 1))(jnp.asarray(f1), jnp.asarray(f2))
+    for a, b_ in zip(g_od, g_mm):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-4)
+
+
+def test_raft_forward_ondemand_matches_mm(rng):
+    """Full RAFT forward with corr_lookup='ondemand' == the mm volume path
+    (float32), for both the basic and small variants."""
+    import jax
+    from accflow_tpu.models.raft import RAFTConfig, init_raft, raft_forward
+
+    i1 = jnp.asarray(rng.standard_normal((1, 64, 64, 3)).astype(np.float32))
+    i2 = jnp.asarray(rng.standard_normal((1, 64, 64, 3)).astype(np.float32))
+    for small in (False, True):
+        cfg_mm = RAFTConfig(small=small, compute_dtype="float32", corr_lookup="mm")
+        cfg_od = RAFTConfig(
+            small=small, compute_dtype="float32", corr_lookup="ondemand:16"
+        )
+        params = init_raft(jax.random.PRNGKey(0), cfg_mm)
+        out_mm = raft_forward(params, i1, i2, cfg_mm, iters=3)
+        out_od = raft_forward(params, i1, i2, cfg_od, iters=3)
+        np.testing.assert_allclose(
+            np.asarray(out_od["flow_up"]), np.asarray(out_mm["flow_up"]),
+            rtol=1e-4, atol=1e-4,
+        )
+
+
+def test_gma_forward_ondemand_matches_mm(rng):
+    """GMA threads corr_lookup through the same dispatcher: on-demand
+    (volume-free) == mm volume path."""
+    import jax
+    from accflow_tpu.models.gma import GMAConfig, gma_forward, init_gma
+
+    i1 = jnp.asarray(rng.standard_normal((1, 64, 64, 3)).astype(np.float32))
+    i2 = jnp.asarray(rng.standard_normal((1, 64, 64, 3)).astype(np.float32))
+    cfg_mm = GMAConfig(compute_dtype="float32", corr_lookup="mm")
+    cfg_od = GMAConfig(compute_dtype="float32", corr_lookup="ondemand:16")
+    params = init_gma(jax.random.PRNGKey(0), cfg_mm)
+    out_mm = gma_forward(params, i1, i2, cfg_mm, iters=2)
+    out_od = gma_forward(params, i1, i2, cfg_od, iters=2)
+    np.testing.assert_allclose(
+        np.asarray(out_od["flow_up"]), np.asarray(out_mm["flow_up"]),
+        rtol=1e-4, atol=1e-4,
+    )
+
+
 def test_lookup_corr_patch_equals_gather(rng):
     b, h, w, c = 2, 16, 16, 16
     f1 = rng.standard_normal((b, h, w, c)).astype(np.float32)
