@@ -24,7 +24,7 @@ aggregation matmul.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -85,6 +85,14 @@ class GMAConfig:
     corr_lookup: str = "fused"
     # GRU-iteration lax.scan unroll factor (see RAFTConfig.scan_unroll).
     scan_unroll: int = 1
+    # Chunked on-demand attention: 0 stores the full (HW, HW) softmaxed
+    # attention matrix once per pair (the reference's layout, gma.py:96);
+    # >0 keeps only q/k and recomputes softmax(q_c k^T) v per query chunk
+    # at every aggregate call. O(chunk*HW) memory instead of O((HW)^2) —
+    # at 1024^2 inputs the stored matrix alone is 1 GB bf16 plus a 4 GB
+    # f32 softmax temporary; chunking is what makes GMA fit at all.
+    # Exact (content-only branch; same f32 softmax, same matmul dtypes).
+    attn_chunk: int = 0
     # Space-to-depth stem (see RAFTConfig.stem_s2d).
     stem_s2d: bool = False
 
@@ -138,6 +146,17 @@ def rel_pos_score(p: Params, q: jnp.ndarray, cfg: GMAConfig) -> jnp.ndarray:
     return hs[..., :, None] + ws[..., None, :]
 
 
+class AttnOperands(NamedTuple):
+    """q/k operands for chunked on-demand attention (attn_chunk > 0).
+
+    q is pre-scaled by dim_head^-0.5; both are kept float32 flattened
+    (N, HW, heads, dh) — the per-chunk similarity matmul uses the same
+    precision rule as the dense path, so results match it exactly."""
+
+    q: jnp.ndarray
+    k: jnp.ndarray
+
+
 def attention(
     p: Params, fmap: jnp.ndarray, cfg: GMAConfig, out_dtype=None
 ) -> jnp.ndarray:
@@ -162,6 +181,15 @@ def attention(
     # bf16-valued q/k lose nothing to a single-pass matmul; true-f32
     # parity paths keep exact emulation (see RAFTConfig.corr_precision).
     prec = "highest" if qk.dtype == jnp.float32 else "default"
+    if cfg.attn_chunk > 0:
+        if cfg.position_only or cfg.position_and_content:
+            raise ValueError(
+                "attn_chunk (on-demand attention) supports the content-only "
+                "branch — the one every released checkpoint uses"
+            )
+        qf = q.reshape(n, h * w, heads, dh).astype(jnp.float32) * (dh**-0.5)
+        kf = k.reshape(n, h * w, heads, dh).astype(jnp.float32)
+        return AttnOperands(qf, kf)
     if cfg.position_only or cfg.position_and_content:
         qp = q.reshape(n, h, w, heads, dh).astype(jnp.float32) * (dh**-0.5)
         sim = rel_pos_score(p["pos_emb"], qp, cfg)
@@ -188,13 +216,46 @@ def init_aggregate(key: jax.Array, cfg: GMAConfig, dim: int = 128) -> Params:
     return p
 
 
-def aggregate(p: Params, attn: jnp.ndarray, fmap: jnp.ndarray, cfg: GMAConfig) -> jnp.ndarray:
-    """Apply the (fixed) attention to per-iteration motion features."""
+def _aggregate_chunked(
+    attn: AttnOperands, v: jnp.ndarray, chunk: int
+) -> jnp.ndarray:
+    """softmax(q_c k^T) v streamed over query chunks under lax.map, the
+    chunk body rematerialized — peak live memory O(chunk * HW) instead of
+    the full (HW, HW) matrix. Row softmaxes see the complete key axis, so
+    this equals the dense path exactly (no online-softmax approximation
+    needed). chunk rounds down to a divisor of HW."""
+    n, hw, heads, dh = v.shape
+    chunk = max(1, min(int(chunk), hw))
+    while hw % chunk:
+        chunk -= 1
+    nch = hw // chunk
+    prec = "highest" if v.dtype == jnp.float32 else "default"
+
+    def one_chunk(qc: jnp.ndarray) -> jnp.ndarray:
+        sim = jnp.einsum("nqhd,nkhd->nhqk", qc, attn.k, precision=prec)
+        a = jax.nn.softmax(sim, axis=-1).astype(v.dtype)
+        return jnp.einsum("nhqk,nkhd->nqhd", a, v)
+
+    if nch == 1:
+        return one_chunk(attn.q)
+    qs = attn.q.reshape(n, nch, chunk, heads, dh).transpose(1, 0, 2, 3, 4)
+    out = jax.lax.map(jax.checkpoint(one_chunk), qs)
+    return out.transpose(1, 0, 2, 3, 4).reshape(n, hw, heads, dh)
+
+
+def aggregate(p: Params, attn, fmap: jnp.ndarray, cfg: GMAConfig) -> jnp.ndarray:
+    """Apply the (fixed) attention to per-iteration motion features.
+
+    attn: dense (N, heads, HW, HW) matrix, or AttnOperands when
+    cfg.attn_chunk > 0 (recompute-per-chunk; see GMAConfig.attn_chunk)."""
     n, h, w, c = fmap.shape
     heads, dh = cfg.num_heads, cfg.dim_head
     v = conv2d(p["to_v"], fmap, padding=0)
     v = v.reshape(n, h * w, heads, dh)
-    out = jnp.einsum("nhqk,nkhd->nqhd", attn.astype(v.dtype), v)
+    if isinstance(attn, AttnOperands):
+        out = _aggregate_chunked(attn, v, cfg.attn_chunk)
+    else:
+        out = jnp.einsum("nhqk,nkhd->nqhd", attn.astype(v.dtype), v)
     out = out.reshape(n, h, w, heads * dh)
     if "project" in p:
         out = conv2d(p["project"], out, padding=0)
@@ -468,11 +529,17 @@ def gma_pairs_forward(
     hw8 = (h // 8) * (w // 8)
     net_u = net_u.reshape(len(src_used), n, h // 8, w // 8, -1)
     inp_u = inp_u.reshape(len(src_used), n, h // 8, w // 8, -1)
-    attn_u = attn_u.reshape(len(src_used), n, cfg.num_heads, hw8, hw8)
     sel = jnp.asarray([spos[i] for i in src_idx])
     net = net_u[sel].reshape(p * n, h // 8, w // 8, -1)
     inp = inp_u[sel].reshape(p * n, h // 8, w // 8, -1)
-    attn = attn_u[sel].reshape(p * n, cfg.num_heads, hw8, hw8)
+    if isinstance(attn_u, AttnOperands):
+        gather_qk = lambda x: x.reshape(
+            (len(src_used), n) + x.shape[1:]
+        )[sel].reshape((p * n,) + x.shape[1:])
+        attn = AttnOperands(gather_qk(attn_u.q), gather_qk(attn_u.k))
+    else:
+        attn_u = attn_u.reshape(len(src_used), n, cfg.num_heads, hw8, hw8)
+        attn = attn_u[sel].reshape(p * n, cfg.num_heads, hw8, hw8)
 
     out = gma_iterate(params, pyramid, net, inp, attn, cfg, iters=iters, final_only=final_only)
     return out["flow_up"]

@@ -37,9 +37,10 @@ def main():
 
     acfg = AccFlowConfig(compute_dtype="bfloat16")
 
-    def clip_time(size, batch, lookup):
+    def clip_time(size, batch, lookup, ofe="raft", **est_kw):
         est = build_flow_estimator(
-            "raft", compute_dtype="bfloat16", corr_lookup=lookup, scan_unroll=4
+            ofe, compute_dtype="bfloat16", corr_lookup=lookup,
+            scan_unroll=4 if ofe == "raft" else 1, **est_kw
         )
         ofe_params = est.init(jax.random.PRNGKey(0))
         acc_params = init_accflow(jax.random.PRNGKey(1), acfg)
@@ -79,21 +80,27 @@ def main():
         return max((t2 - t1) - (t1 - t0), 1e-9) / K / batch
 
     configs = [
-        ("512_fused_b2", 512, 2, "fused"),
-        ("512_ondemand_b2", 512, 2, "ondemand"),
-        ("1024_fused_b1", 1024, 1, "fused"),
-        ("1024_ondemand_b1", 1024, 1, "ondemand"),
-        ("2048_fused_b1", 2048, 1, "fused"),
-        ("2048_ondemand_b1", 2048, 1, "ondemand"),
+        ("512_fused_b2", 512, 2, "fused", {}),
+        ("512_ondemand_b2", 512, 2, "ondemand", {}),
+        ("1024_fused_b1", 1024, 1, "fused", {}),
+        ("1024_ondemand_b1", 1024, 1, "ondemand", {}),
+        ("2048_fused_b1", 2048, 1, "fused", {}),
+        ("2048_ondemand_b1", 2048, 1, "ondemand", {}),
+        # GMA needs BOTH memory modes at hi-res: volume-free corr AND
+        # chunked attention (the dense (HW,HW) matrix is 1 GB bf16 at
+        # 1024^2 with a 4 GB f32 softmax temporary).
+        ("1024_gma_dense_b1", 1024, 1, "fused", {"ofe": "gma"}),
+        ("1024_gma_od_b1", 1024, 1, "ondemand",
+         {"ofe": "gma", "attn_chunk": 1024}),
     ]
     sel = os.environ.get("HIRES", "")
     if sel:
         names = sel.split(",")
         configs = [c for c in configs if c[0] in names]
 
-    for name, size, batch, lookup in configs:
+    for name, size, batch, lookup, kw in configs:
         try:
-            t = clip_time(size, batch, lookup)
+            t = clip_time(size, batch, lookup, **kw)
             print(
                 f"{name:18s} {t*1e3:9.1f} ms/clip  ({FRAMES/t:6.2f} frames/s)",
                 flush=True,

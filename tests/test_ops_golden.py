@@ -394,6 +394,34 @@ def test_gma_forward_ondemand_matches_mm(rng):
     )
 
 
+def test_gma_attn_chunked_matches_dense(rng):
+    """attn_chunk>0 (on-demand softmax(qk)v per query chunk) == the dense
+    stored-attention path, composed with volume-free corr — the full
+    GMA high-resolution memory configuration."""
+    import jax
+    from accflow_tpu.models.gma import GMAConfig, gma_forward, init_gma
+
+    i1 = jnp.asarray(rng.standard_normal((1, 64, 64, 3)).astype(np.float32))
+    i2 = jnp.asarray(rng.standard_normal((1, 64, 64, 3)).astype(np.float32))
+    cfg_dense = GMAConfig(compute_dtype="float32", corr_lookup="mm")
+    cfg_chunk = GMAConfig(
+        compute_dtype="float32", corr_lookup="ondemand:16", attn_chunk=16
+    )
+    params = init_gma(jax.random.PRNGKey(0), cfg_dense)
+    out_dense = gma_forward(params, i1, i2, cfg_dense, iters=2)
+    out_chunk = gma_forward(params, i1, i2, cfg_chunk, iters=2)
+    np.testing.assert_allclose(
+        np.asarray(out_chunk["flow_up"]), np.asarray(out_dense["flow_up"]),
+        rtol=1e-4, atol=1e-4,
+    )
+    with pytest.raises(ValueError, match="content-only"):
+        gma_forward(
+            params, i1, i2,
+            GMAConfig(compute_dtype="float32", attn_chunk=16, position_only=True),
+            iters=1,
+        )
+
+
 def test_lookup_corr_patch_equals_gather(rng):
     b, h, w, c = 2, 16, 16, 16
     f1 = rng.standard_normal((b, h, w, c)).astype(np.float32)
