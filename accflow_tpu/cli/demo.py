@@ -196,6 +196,14 @@ def main(argv=None):
                         "previous flow advected along itself (streaming)")
     parser.add_argument("--no_viz", action="store_true",
                         help="skip the flow-colour PNGs, write .flo only")
+    parser.add_argument("--corr_lookup", type=str, default="fused",
+                        help="correlation impl (ops/corr.py). For frames "
+                        "past ~1500^2 use 'ondemand[:chunk]' — the "
+                        "volume-free mode that fits any resolution")
+    parser.add_argument("--attn_chunk", type=int, default=0,
+                        help="gma only: >0 recomputes attention per query "
+                        "chunk instead of storing the (HW)^2 matrix "
+                        "(pairs with --corr_lookup ondemand at hi-res)")
     parser.add_argument("--artifact", type=str, default=None,
                         help="exported StableHLO serving artifact "
                         "(cli.export_serving); implies long-range mode "
@@ -225,7 +233,12 @@ def main(argv=None):
     from accflow_tpu.models import build_flow_estimator
     from accflow_tpu.ops.padding import InputPadder
 
-    est = build_flow_estimator(args.ofe, compute_dtype=args.compute_dtype)
+    est_kw = {"corr_lookup": args.corr_lookup}
+    if args.ofe == "gma":
+        est_kw["attn_chunk"] = args.attn_chunk
+    est = build_flow_estimator(
+        args.ofe, compute_dtype=args.compute_dtype, **est_kw
+    )
     template = est.init(jax.random.PRNGKey(0))
     acc_params = None
     if args.mode == "long":

@@ -49,6 +49,23 @@ def test_demo_pairs_mode(frame_dir, tmp_path):
         )
 
 
+def test_demo_pairs_ondemand_lookup(frame_dir, tmp_path):
+    """--corr_lookup ondemand (volume-free hi-res mode) produces the same
+    flows as the default materialized-volume path."""
+    from accflow_tpu.cli.demo import main
+
+    out_ref = str(tmp_path / "out_ref")
+    main(["--frames", frame_dir, "--out", out_ref, "--iters", "2",
+          "--compute-dtype", "float32", "--corr_lookup", "mm"])
+    out_od = str(tmp_path / "out_od")
+    main(["--frames", frame_dir, "--out", out_od, "--iters", "2",
+          "--compute-dtype", "float32", "--corr_lookup", "ondemand:8",
+          "--no_viz"])
+    ref = _read(out_ref, "frame_000_to_frame_001.flo")
+    got = _read(out_od, "frame_000_to_frame_001.flo")
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
 def test_demo_long_mode(frame_dir, tmp_path):
     from accflow_tpu.cli.demo import main
 
