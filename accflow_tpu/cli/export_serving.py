@@ -25,7 +25,12 @@ def main(argv=None):
     parser.add_argument("--size", type=int, default=512)
     parser.add_argument("--iters", type=int, default=12)
     parser.add_argument("--compute-dtype", type=str, default="bfloat16")
-    parser.add_argument("--corr_lookup", type=str, default="fused")
+    parser.add_argument("--corr_lookup", type=str, default="fused",
+                        help="correlation impl; 'ondemand[:chunk]' bakes "
+                        "the volume-free hi-res mode into the artifact")
+    parser.add_argument("--attn_chunk", type=int, default=0,
+                        help="gma only: chunked on-demand attention "
+                        "(see GMAConfig.attn_chunk)")
     parser.add_argument("--scan_unroll", type=int, default=4,
                         help="GRU scan unroll baked into the artifact")
     parser.add_argument("--platforms", type=str, default=None,
@@ -40,9 +45,13 @@ def main(argv=None):
     from accflow_tpu.models.accflow import AccFlowConfig, init_accflow
     from accflow_tpu.serving import export_serving, save_artifact
 
+    est_kw = {}
+    if args.ofe == "gma":
+        est_kw["attn_chunk"] = args.attn_chunk
     est = build_flow_estimator(
         args.ofe, compute_dtype=args.compute_dtype, iters=args.iters,
         corr_lookup=args.corr_lookup, scan_unroll=args.scan_unroll,
+        **est_kw,
     )
     acfg = AccFlowConfig(compute_dtype=args.compute_dtype)
     if args.acc_ckpt:

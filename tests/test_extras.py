@@ -290,3 +290,14 @@ def test_serving_export_roundtrip(tmp_path, rng):
     out = np.asarray(fn(images))
     assert out.shape == (2, 1, 64, 64, 2)
     np.testing.assert_array_equal(out, ref)
+
+    # The volume-free memory mode (lax.map + jax.checkpoint inside the
+    # lookup) also survives export/reload, and matches the volume path.
+    est_od = build_flow_estimator(
+        "raft", compute_dtype="float32", iters=2, corr_lookup="ondemand:16"
+    )
+    exported_od = export_serving(est_od, acfg, ofe_params, acc_params, shape)
+    path_od = str(tmp_path / "acc_raft_od.sflow")
+    save_artifact(exported_od, path_od)
+    out_od = np.asarray(load_artifact(path_od)(images))
+    np.testing.assert_allclose(out_od, ref, rtol=1e-4, atol=1e-4)
