@@ -141,6 +141,39 @@ def test_finetune_step_runs(tmp_path):
     assert int(state.step) == 2
 
 
+def test_finetune_step_runs_ondemand(tmp_path):
+    """Fine-tuning backward-through-the-lookup also works in the
+    volume-free corr mode (corr_lookup config knob)."""
+    from accflow_tpu.data.synthetic import write_synthetic_cvor
+    from accflow_tpu.train.finetune import fine_tune
+    from accflow_tpu.utils.config import AttrDict
+
+    root = str(tmp_path / "cvor")
+    write_synthetic_cvor(root, num_train=4, num_test=2, h=64, w=64)
+    opt = AttrDict(
+        exp_name="RAFT-debug",
+        epochs=1,
+        lr=1e-4,
+        wdecay=1e-5,
+        epsilon=1e-8,
+        compute_dtype="float32",
+        batch_per_gpu=1,
+        clip=1.0,
+        add_noise=False,
+        gamma=0.85,
+        log_freq=1,
+        valid_freq=10,
+        valid_sample=1,
+        image_size=64,
+        dataset_root=root,
+        corr_lookup="ondemand:16",
+        log_dir=str(tmp_path / "logs"),
+        ckpt_dir=str(tmp_path / "ckpt"),
+    )
+    state = fine_tune(opt, max_steps=1)
+    assert int(state.step) == 1
+
+
 @pytest.mark.slow
 def test_accflow_remat_grads_match(rng):
     """remat=True must not change gradients (only memory)."""
