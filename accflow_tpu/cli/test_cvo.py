@@ -33,6 +33,10 @@ def main(argv=None):
                         help="correlation lookup implementation (see "
                         "RAFTConfig.corr_lookup; measured trade-offs in "
                         "PARITY.md)")
+    parser.add_argument("--attn_chunk", type=int, default=0,
+                        help="gma only: >0 recomputes attention per query "
+                        "chunk instead of storing the (HW)^2 matrix "
+                        "(hi-res memory mode; see GMAConfig.attn_chunk)")
     parser.add_argument("--scan_unroll", type=int, default=1,
                         help="GRU-iteration scan unroll factor (4 is the "
                         "serving-bench default: fewer loop-boundary ops "
@@ -76,6 +80,7 @@ def main(argv=None):
         corr_lookup=args.corr_lookup,
         micro_batch=args.micro_batch,
         scan_unroll=args.scan_unroll,
+        attn_chunk=args.attn_chunk,
     )
 
 

@@ -63,6 +63,7 @@ def evaluate_cvo(
     micro_batch: Optional[int] = None,
     data_parallel: bool = True,
     scan_unroll: int = 1,
+    attn_chunk: int = 0,
 ):
     """Run the CVO-{end} protocol. model_name: e.g. "direct|raft",
     "acc|gma" (test_cvo.py:118). Params may be passed directly (tests) or
@@ -90,9 +91,12 @@ def evaluate_cvo(
     the estimator's iteration start, not the protocol.
     """
     use_acc = "acc" in model_name.split("|")[0]
+    est_kw = {}
+    if "gma" in model_name.lower() and attn_chunk:
+        est_kw["attn_chunk"] = int(attn_chunk)
     est = build_flow_estimator(
         model_name, compute_dtype=compute_dtype, corr_lookup=corr_lookup,
-        scan_unroll=scan_unroll,
+        scan_unroll=scan_unroll, **est_kw,
     )
 
     if params is None:

@@ -53,6 +53,15 @@ def test_evaluate_direct_gma(tmp_path, monkeypatch):
     assert all(np.isfinite(v) for v in res.values())
     assert osp.exists(tmp_path / "test_result_final_E6.txt")
 
+    # The hi-res memory configuration (volume-free corr + chunked
+    # attention) must reproduce the stored-path metrics exactly.
+    res_mem = evaluate_cvo(
+        "direct|gma", root, split="final", batch=2, iters=2,
+        compute_dtype="float32", corr_lookup="ondemand:16", attn_chunk=16,
+    )
+    for k in res:
+        np.testing.assert_allclose(res_mem[k], res[k], rtol=1e-4, atol=1e-4)
+
 
 @pytest.mark.slow
 def test_evaluate_micro_batch_matches_full(tmp_path, monkeypatch):
