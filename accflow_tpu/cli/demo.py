@@ -43,6 +43,8 @@ def extract_video_frames(video: str, out_dir: str, stride: int, limit: int):
     returns the sorted file list."""
     import cv2
 
+    if stride < 1:
+        raise SystemExit(f"--video_stride must be >= 1, got {stride}")
     cap = cv2.VideoCapture(video)
     if not cap.isOpened():
         raise SystemExit(f"cannot open video: {video}")
@@ -233,11 +235,9 @@ def main(argv=None):
     from accflow_tpu.models import build_flow_estimator
     from accflow_tpu.ops.padding import InputPadder
 
-    est_kw = {"corr_lookup": args.corr_lookup}
-    if args.ofe == "gma":
-        est_kw["attn_chunk"] = args.attn_chunk
     est = build_flow_estimator(
-        args.ofe, compute_dtype=args.compute_dtype, **est_kw
+        args.ofe, compute_dtype=args.compute_dtype,
+        corr_lookup=args.corr_lookup, attn_chunk=args.attn_chunk,
     )
     template = est.init(jax.random.PRNGKey(0))
     acc_params = None

@@ -45,13 +45,10 @@ def main(argv=None):
     from accflow_tpu.models.accflow import AccFlowConfig, init_accflow
     from accflow_tpu.serving import export_serving, save_artifact
 
-    est_kw = {}
-    if args.ofe == "gma":
-        est_kw["attn_chunk"] = args.attn_chunk
     est = build_flow_estimator(
         args.ofe, compute_dtype=args.compute_dtype, iters=args.iters,
         corr_lookup=args.corr_lookup, scan_unroll=args.scan_unroll,
-        **est_kw,
+        attn_chunk=args.attn_chunk,
     )
     acfg = AccFlowConfig(compute_dtype=args.compute_dtype)
     if args.acc_ckpt:

@@ -79,16 +79,36 @@ class FlowEstimator:
         return fn
 
 
+def _cfg_for(cls, other_cls, compute_dtype, overrides):
+    """Build `cls` from overrides, DROPPING keys that are valid fields of
+    the other estimator's config only (cross-model knobs like attn_chunk
+    pass through call sites untouched) and rejecting keys neither config
+    knows (typos still fail loudly)."""
+    import dataclasses
+
+    mine = {f.name for f in dataclasses.fields(cls)}
+    theirs = {f.name for f in dataclasses.fields(other_cls)}
+    unknown = set(overrides) - mine - theirs
+    if unknown:
+        raise TypeError(
+            f"unknown {cls.__name__} override(s): {sorted(unknown)}"
+        )
+    kept = {k: v for k, v in overrides.items() if k in mine}
+    return cls(compute_dtype=compute_dtype, **kept)
+
+
 def build_flow_estimator(
     name: str, compute_dtype: str = "bfloat16", **cfg_overrides
 ) -> FlowEstimator:
     """Substring dispatch mirroring networks/__init__.py:4-23. Extra kwargs
-    override RAFTConfig/GMAConfig fields (e.g. corr_volume_dtype, iters)."""
+    override RAFTConfig/GMAConfig fields (e.g. corr_volume_dtype, iters);
+    fields specific to the *other* estimator (e.g. attn_chunk on a RAFT
+    build) are ignored so callers can thread one knob set through."""
     lname = name.lower()
     if "raft" in lname:
-        cfg = RAFTConfig(compute_dtype=compute_dtype, **cfg_overrides)
+        cfg = _cfg_for(RAFTConfig, GMAConfig, compute_dtype, cfg_overrides)
         return FlowEstimator(name, cfg, init_raft, raft_forward, raft_pairs_forward)
     if "gma" in lname:
-        cfg = GMAConfig(compute_dtype=compute_dtype, **cfg_overrides)
+        cfg = _cfg_for(GMAConfig, RAFTConfig, compute_dtype, cfg_overrides)
         return FlowEstimator(name, cfg, init_gma, gma_forward, gma_pairs_forward)
     raise NotImplementedError(f"unknown flow estimator: {name}")

@@ -47,6 +47,7 @@ from accflow_tpu.models.raft import (
 )
 from accflow_tpu.nn.layers import conv2d, init_conv, relu
 from accflow_tpu.ops.corr import (
+    _divisor_chunk,
     build_corr_operands,
     lookup,
     lookup_corr_split,
@@ -157,6 +158,24 @@ class AttnOperands(NamedTuple):
     k: jnp.ndarray
 
 
+class AttnChunks(NamedTuple):
+    """AttnOperands with q pre-split chunk-major: (nch, N, chunk, heads,
+    dh). Prepared ONCE outside the GRU scan (prepare_attn_chunks) so the
+    loop-invariant reshape/transpose is not re-emitted per iteration
+    (XLA's loop-invariant motion across scan bodies is not guaranteed)."""
+
+    qs: jnp.ndarray
+    k: jnp.ndarray
+
+
+def prepare_attn_chunks(attn: AttnOperands, chunk: int) -> AttnChunks:
+    n, hw, heads, dh = attn.q.shape
+    chunk = _divisor_chunk(hw, chunk)
+    nch = hw // chunk
+    qs = attn.q.reshape(n, nch, chunk, heads, dh).transpose(1, 0, 2, 3, 4)
+    return AttnChunks(qs, attn.k)
+
+
 def attention(
     p: Params, fmap: jnp.ndarray, cfg: GMAConfig, out_dtype=None
 ) -> jnp.ndarray:
@@ -216,29 +235,29 @@ def init_aggregate(key: jax.Array, cfg: GMAConfig, dim: int = 128) -> Params:
     return p
 
 
-def _aggregate_chunked(
-    attn: AttnOperands, v: jnp.ndarray, chunk: int
-) -> jnp.ndarray:
+def _aggregate_chunked(attn, v: jnp.ndarray, chunk: int) -> jnp.ndarray:
     """softmax(q_c k^T) v streamed over query chunks under lax.map, the
     chunk body rematerialized — peak live memory O(chunk * HW) instead of
     the full (HW, HW) matrix. Row softmaxes see the complete key axis, so
     this equals the dense path exactly (no online-softmax approximation
-    needed). chunk rounds down to a divisor of HW."""
+    needed). chunk rounds down to a divisor of HW.
+
+    attn: AttnChunks (chunk-major q, prepared outside the scan) or raw
+    AttnOperands (prepared here — fine outside loops)."""
     n, hw, heads, dh = v.shape
-    chunk = max(1, min(int(chunk), hw))
-    while hw % chunk:
-        chunk -= 1
-    nch = hw // chunk
+    if isinstance(attn, AttnOperands):
+        attn = prepare_attn_chunks(attn, chunk)
+    qs, k = attn.qs, attn.k
+    nch = qs.shape[0]
     prec = "highest" if v.dtype == jnp.float32 else "default"
 
     def one_chunk(qc: jnp.ndarray) -> jnp.ndarray:
-        sim = jnp.einsum("nqhd,nkhd->nhqk", qc, attn.k, precision=prec)
+        sim = jnp.einsum("nqhd,nkhd->nhqk", qc, k, precision=prec)
         a = jax.nn.softmax(sim, axis=-1).astype(v.dtype)
         return jnp.einsum("nhqk,nkhd->nqhd", a, v)
 
     if nch == 1:
-        return one_chunk(attn.q)
-    qs = attn.q.reshape(n, nch, chunk, heads, dh).transpose(1, 0, 2, 3, 4)
+        return one_chunk(qs[0])
     out = jax.lax.map(jax.checkpoint(one_chunk), qs)
     return out.transpose(1, 0, 2, 3, 4).reshape(n, hw, heads, dh)
 
@@ -252,7 +271,7 @@ def aggregate(p: Params, attn, fmap: jnp.ndarray, cfg: GMAConfig) -> jnp.ndarray
     heads, dh = cfg.num_heads, cfg.dim_head
     v = conv2d(p["to_v"], fmap, padding=0)
     v = v.reshape(n, h * w, heads, dh)
-    if isinstance(attn, AttnOperands):
+    if isinstance(attn, (AttnOperands, AttnChunks)):
         out = _aggregate_chunked(attn, v, cfg.attn_chunk)
     else:
         out = jnp.einsum("nhqk,nkhd->nqhd", attn.astype(v.dtype), v)
@@ -373,6 +392,10 @@ def gma_iterate(
     gru_step = make_fused_sep_gru(ub["gru"], inp, cfg.hidden_dim)
     # s-major mask head, permuted once outside the scan (see mask_head_s_major).
     w2s = mask_head_s_major(ub)
+
+    if isinstance(attn, AttnOperands):
+        # Chunk-major q layout hoisted out of the scan (loop-invariant).
+        attn = prepare_attn_chunks(attn, cfg.attn_chunk)
 
     pf_ops = pf_plan = None
     lookup_impl = cfg.corr_lookup

@@ -38,6 +38,7 @@ from accflow_tpu.models.encoders import (
 from accflow_tpu.nn.layers import conv2d, init_conv, relu
 from accflow_tpu.ops.corr import (
     build_corr_operands,
+    is_ondemand,
     lookup,
     lookup_corr_split,
     lookup_corr_split_packed,
@@ -530,7 +531,7 @@ def raft_iterate(
             impl = (
                 cfg.corr_lookup
                 if cfg.corr_lookup in ("mm", "rows", "patch", "gather", "pallas")
-                or cfg.corr_lookup.split(":", 1)[0] == "ondemand"
+                or is_ondemand(cfg.corr_lookup)
                 else "mm"
             )
             corr = lookup(

@@ -103,6 +103,33 @@ def build_corr_pyramid(
     return CorrPyramid(levels=tuple(levels), h1=h, w1=w)
 
 
+def is_ondemand(lookup_impl: str) -> bool:
+    """True for the volume-free impl spelling 'ondemand[:chunk]'."""
+    return lookup_impl.split(":", 1)[0] == "ondemand"
+
+
+def ondemand_chunk(lookup_impl: str, default: int = 1024) -> int:
+    """Parse the ':chunk' suffix of an ondemand impl string."""
+    if ":" not in lookup_impl:
+        return default
+    suffix = lookup_impl.split(":", 1)[1]
+    try:
+        return int(suffix)
+    except ValueError:
+        raise ValueError(
+            f"bad ondemand chunk suffix {suffix!r} in corr_lookup="
+            f"{lookup_impl!r}; expected 'ondemand' or 'ondemand:<int>'"
+        ) from None
+
+
+def _divisor_chunk(total: int, chunk: int) -> int:
+    """Largest divisor of `total` that is <= the requested chunk."""
+    chunk = max(1, min(int(chunk), total))
+    while total % chunk:
+        chunk -= 1
+    return chunk
+
+
 def build_corr_operands(
     fmap1: jnp.ndarray,
     fmap2: jnp.ndarray,
@@ -113,9 +140,13 @@ def build_corr_operands(
 ):
     """Build whatever the chosen lookup impl consumes: on-demand feature
     operands for impl 'ondemand[:chunk]', a materialized volume pyramid
-    for everything else. Shared by the RAFT/GMA feature stages."""
-    if lookup_impl.split(":", 1)[0] == "ondemand":
-        return build_corr_on_demand(fmap1, fmap2, num_levels)
+    for everything else. Shared by the RAFT/GMA feature stages. `dtype`
+    (corr_volume_dtype) applies to both: the on-demand path quantizes
+    its recomputed rows to it so the numerics match a stored volume of
+    the same dtype."""
+    if is_ondemand(lookup_impl):
+        ondemand_chunk(lookup_impl)  # validate the suffix at build time
+        return build_corr_on_demand(fmap1, fmap2, num_levels, dtype=dtype)
     return build_corr_pyramid(
         fmap1, fmap2, num_levels, precision=precision, dtype=dtype
     )
@@ -145,17 +176,22 @@ class OnDemandCorr(NamedTuple):
     f1: (B, H1*W1, C) float32 query features (UNscaled; 1/sqrt(C) is
         applied after the chunk matmul, matching build_corr_pyramid).
     f2_levels: per level, (B, Hl*Wl, C) float32 pooled key features.
-    shapes: per level (Hl, Wl)."""
+    shapes: per level (Hl, Wl).
+    vol_dtype: dtype string the recomputed rows are quantized to before
+        the tent contractions — matches a stored volume of that dtype
+        (corr_volume_dtype semantics)."""
 
     f1: jnp.ndarray
     f2_levels: tuple[jnp.ndarray, ...]
     shapes: tuple[tuple[int, int], ...]
     h1: int
     w1: int
+    vol_dtype: str = "float32"
 
 
 def build_corr_on_demand(
-    fmap1: jnp.ndarray, fmap2: jnp.ndarray, num_levels: int = 4
+    fmap1: jnp.ndarray, fmap2: jnp.ndarray, num_levels: int = 4,
+    dtype=jnp.float32,
 ) -> OnDemandCorr:
     """fmap1, fmap2: (B, H, W, C) -> on-demand operands (see OnDemandCorr).
 
@@ -170,7 +206,9 @@ def build_corr_on_demand(
         levels.append(f2l.reshape(b, hl * wl, c))
         shapes.append((hl, wl))
         f2l = avg_pool2_nhwc(f2l)
-    return OnDemandCorr(f1, tuple(levels), tuple(shapes), h, w)
+    return OnDemandCorr(
+        f1, tuple(levels), tuple(shapes), h, w, jnp.dtype(dtype).name
+    )
 
 
 def lookup_corr_on_demand(
@@ -197,16 +235,19 @@ def lookup_corr_on_demand(
     b, h, w, _ = coords.shape
     num = 2 * radius + 1
     qtot = h * w
-    chunk = max(1, min(int(chunk), qtot))
-    while qtot % chunk:
-        chunk -= 1
+    chunk = _divisor_chunk(qtot, chunk)
     nch = qtot // chunk
     c = od.f1.shape[-1]
     inv_sqrt_c = 1.0 / jnp.sqrt(jnp.float32(c))
     delta = jnp.linspace(-radius, radius, num, dtype=jnp.float32)
 
+    vol = jnp.dtype(od.vol_dtype)
+
     def one_chunk(f1c: jnp.ndarray, cc: jnp.ndarray) -> jnp.ndarray:
         # f1c: (B, Qc, C) queries; cc: (B, Qc, 2) their lookup centers.
+        # The dtype chain (f32 scale -> vol_dtype rows -> vol_dtype tent
+        # weights -> f32-accumulated einsums) mirrors build_corr_pyramid
+        # + lookup_corr exactly, so any vol_dtype matches a stored volume.
         qc = b * chunk
         cf = cc.reshape(qc, 2)
         outs = []
@@ -214,14 +255,15 @@ def lookup_corr_on_demand(
             corr = jnp.einsum(
                 "bqc,bkc->bqk", f1c, f2l, precision=precision
             ) * inv_sqrt_c
-            corr = corr.reshape(qc, hl, wl)
+            corr = corr.reshape(qc, hl, wl).astype(vol)
             cx = cf[:, 0:1] / (2.0**i) + delta[None]
             cy = cf[:, 1:2] / (2.0**i) + delta[None]
-            wx = _window_weights(cx, wl)  # (Qc, 9, wl)
-            wy = _window_weights(cy, hl)  # (Qc, 9, hl)
+            wx = _window_weights(cx, wl).astype(vol)  # (Qc, 9, wl)
+            wy = _window_weights(cy, hl).astype(vol)  # (Qc, 9, hl)
             tmp = jnp.einsum("qby,qyx->qbx", wy, corr, precision=precision,
                              preferred_element_type=jnp.float32)
-            out = jnp.einsum("qax,qbx->qab", wx, tmp, precision=precision,
+            out = jnp.einsum("qax,qbx->qab", wx, tmp.astype(vol),
+                             precision=precision,
                              preferred_element_type=jnp.float32)
             outs.append(out.reshape(b, chunk, num * num))
         return jnp.concatenate(outs, axis=-1)  # (B, Qc, levels*num^2)
@@ -410,14 +452,15 @@ def lookup(
     impl "ondemand" (or "ondemand:<chunk>") requires `pyramid` to be an
     OnDemandCorr from build_corr_on_demand; every other impl requires a
     materialized CorrPyramid."""
-    if impl.split(":", 1)[0] == "ondemand":
+    if is_ondemand(impl):
         if not isinstance(pyramid, OnDemandCorr):
             raise TypeError(
                 "impl='ondemand' needs build_corr_on_demand operands, got "
                 f"{type(pyramid).__name__}"
             )
-        chunk = int(impl.split(":", 1)[1]) if ":" in impl else 1024
-        return lookup_corr_on_demand(pyramid, coords, radius, chunk, precision)
+        return lookup_corr_on_demand(
+            pyramid, coords, radius, ondemand_chunk(impl), precision
+        )
     if isinstance(pyramid, OnDemandCorr):
         raise TypeError(
             f"impl={impl!r} needs a materialized CorrPyramid; the model was "

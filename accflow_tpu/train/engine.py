@@ -87,14 +87,11 @@ def build_acc_model(opt):
     """(estimator, acc_cfg) from an experiment name like Acc+RAFT-cvo.
     opt.direction="forward" selects the F0N ablation (fflows labels)."""
     cd = opt.get("compute_dtype", "bfloat16")
-    est_kw = {}
-    if "gma" in opt.exp_name.lower() and opt.get("attn_chunk"):
-        est_kw["attn_chunk"] = int(opt.attn_chunk)
     est = build_flow_estimator(
         opt.exp_name, compute_dtype=cd,
         scan_unroll=int(opt.get("scan_unroll", 1)),
         corr_lookup=opt.get("corr_lookup", "fused"),
-        **est_kw,
+        attn_chunk=int(opt.get("attn_chunk", 0)),
     )
     acfg = AccFlowConfig(
         compute_dtype=cd,

@@ -91,12 +91,9 @@ def evaluate_cvo(
     the estimator's iteration start, not the protocol.
     """
     use_acc = "acc" in model_name.split("|")[0]
-    est_kw = {}
-    if "gma" in model_name.lower() and attn_chunk:
-        est_kw["attn_chunk"] = int(attn_chunk)
     est = build_flow_estimator(
         model_name, compute_dtype=compute_dtype, corr_lookup=corr_lookup,
-        scan_unroll=scan_unroll, **est_kw,
+        scan_unroll=scan_unroll, attn_chunk=int(attn_chunk),
     )
 
     if params is None:

@@ -170,14 +170,11 @@ def fine_tune(opt, max_steps: int | None = None, tb=None):
         len(train_dst), batch, n_dev, num_steps,
     )
 
-    est_kw = {}
-    if "gma" in opt.exp_name.lower() and opt.get("attn_chunk"):
-        est_kw["attn_chunk"] = int(opt.attn_chunk)
     est = build_flow_estimator(
         opt.exp_name, compute_dtype=opt.get("compute_dtype", "bfloat16"),
         scan_unroll=int(opt.get("scan_unroll", 1)),
         corr_lookup=opt.get("corr_lookup", "fused"),
-        **est_kw,
+        attn_chunk=int(opt.get("attn_chunk", 0)),
     )
     if opt.get("init_params") is not None:
         params = opt.init_params

@@ -32,6 +32,13 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # Numbers below are meaningless on the CPU fallback the axon plugin
+    # degrades to when the relay is down — refuse to "measure" there.
+    backend = jax.default_backend()
+    if backend not in ("tpu", "axon") and not os.environ.get("HIRES_ALLOW_CPU"):
+        raise SystemExit(f"refusing to bench on backend {backend!r} "
+                         "(relay down?); set HIRES_ALLOW_CPU=1 to override")
+
     from accflow_tpu.models import build_flow_estimator
     from accflow_tpu.models.accflow import AccFlowConfig, accflow_forward, init_accflow
 

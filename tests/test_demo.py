@@ -130,6 +130,8 @@ def test_demo_video_extraction(tmp_path):
 
     path = str(tmp_path / "clip.avi")
     w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), 10, (48, 32))
+    if not w.isOpened():
+        pytest.skip("OpenCV build lacks the MJPG encoder")
     rng = np.random.default_rng(0)
     frames = []
     for _ in range(6):
@@ -155,6 +157,8 @@ def test_demo_video_extraction(tmp_path):
         main(["--frames", "x", "--video", "y", "--out", str(tmp_path)])
     with pytest.raises(SystemExit, match="exactly one"):
         main(["--out", str(tmp_path)])
+    with pytest.raises(SystemExit, match="video_stride"):
+        extract_video_frames(path, str(tmp_path / "fr2"), stride=0, limit=3)
 
 
 def test_demo_rejects_single_frame(tmp_path):

@@ -330,13 +330,28 @@ def test_lookup_corr_on_demand_equals_mm(rng):
         )
         np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
 
-    # dispatch surface + wrong-operand errors
+    # dispatch surface + wrong-operand / bad-suffix errors
     got = np.asarray(ops.lookup(od, jnp.asarray(coords), radius=4, impl="ondemand:64"))
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
     with pytest.raises(TypeError):
         ops.lookup(pyr, jnp.asarray(coords), radius=4, impl="ondemand")
     with pytest.raises(TypeError):
         ops.lookup(od, jnp.asarray(coords), radius=4, impl="mm")
+    with pytest.raises(ValueError, match="chunk suffix"):
+        ops.lookup(od, jnp.asarray(coords), radius=4, impl="ondemand:1k")
+
+    # vol_dtype quantization matches a stored volume of the same dtype
+    pyr_bf = ops.build_corr_pyramid(
+        jnp.asarray(f1), jnp.asarray(f2), num_levels=4, dtype=jnp.bfloat16
+    )
+    ref_bf = np.asarray(ops.lookup_corr(pyr_bf, jnp.asarray(coords), radius=4))
+    od_bf = ops.build_corr_on_demand(
+        jnp.asarray(f1), jnp.asarray(f2), num_levels=4, dtype=jnp.bfloat16
+    )
+    got_bf = np.asarray(
+        ops.lookup_corr_on_demand(od_bf, jnp.asarray(coords), radius=4, chunk=64)
+    )
+    np.testing.assert_allclose(got_bf, ref_bf, rtol=1e-5, atol=1e-5)
 
     # gradients flow through the remat'd chunked path (wrt both features)
     def loss_od(a, b_):
