@@ -94,6 +94,38 @@ def test_spatial_sharded_raft_forward_matches(cpu_devices):
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-3, atol=1e-3)
 
 
+def test_spatial_sharded_ondemand_forward_matches(cpu_devices):
+    """Spatially-sharded forward in the volume-free corr mode == the
+    unsharded stored-volume path. This is the full high-resolution
+    recipe: height split across chips (GSPMD conv halos) AND no
+    O((HW)^2) volume materialized on any one of them."""
+    from accflow_tpu.models import build_flow_estimator
+    from accflow_tpu.parallel.mesh import make_mesh, shard_params
+
+    est_mm = build_flow_estimator("raft", compute_dtype="float32",
+                                  corr_lookup="mm")
+    est_od = build_flow_estimator("raft", compute_dtype="float32",
+                                  corr_lookup="ondemand:64")
+    params = est_mm.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(2)
+    i1 = jnp.asarray(rng.uniform(-1, 1, (1, 128, 128, 3)).astype(np.float32))
+    i2 = jnp.asarray(rng.uniform(-1, 1, (1, 128, 128, 3)).astype(np.float32))
+
+    ref = np.asarray(
+        jax.jit(lambda p, a, b: est_mm.forward(p, a, b, iters=2)["flow_up"])(
+            params, i1, i2
+        )
+    )
+
+    fwd = jax.jit(lambda p, a, b: est_od.forward(p, a, b, iters=2)["flow_up"])
+    mesh = make_mesh(n_data=1, n_spatial=8)
+    ps = shard_params(mesh, params)
+    sh = NamedSharding(mesh, P(None, "spatial", None, None))
+    out = fwd(ps, jax.device_put(i1, sh), jax.device_put(i2, sh))
+    assert len(out.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-3, atol=1e-3)
+
+
 def test_maybe_init_distributed_noop_and_env(monkeypatch):
     """Multi-host entry point (SURVEY.md §5.8): no-op on a plain single
     host; env triggers call jax.distributed.initialize with the right
