@@ -39,6 +39,15 @@ def test_evaluate_acc_raft(tmp_path, monkeypatch):
     )
     assert all(np.isfinite(v) for v in res.values())
 
+    # The accumulation protocol drives raft_pairs_forward (the batched
+    # serving path) — the volume-free mode must be metric-exact there too.
+    res_od = evaluate_cvo(
+        "acc|raft", root, split="final", batch=2, iters=2,
+        compute_dtype="float32", corr_lookup="ondemand:16",
+    )
+    for k in res:
+        np.testing.assert_allclose(res_od[k], res[k], rtol=1e-4, atol=1e-4)
+
 
 def test_evaluate_direct_gma(tmp_path, monkeypatch):
     root = str(tmp_path / "cvor")
