@@ -49,6 +49,7 @@ from accflow_tpu.nn.layers import conv2d, init_conv, relu
 from accflow_tpu.ops.corr import (
     _divisor_chunk,
     build_corr_operands,
+    is_ondemand,
     lookup,
     lookup_corr_split,
     lookup_corr_split_packed,
@@ -396,6 +397,12 @@ def gma_iterate(
     if isinstance(attn, AttnOperands):
         # Chunk-major q layout hoisted out of the scan (loop-invariant).
         attn = prepare_attn_chunks(attn, cfg.attn_chunk)
+    if is_ondemand(cfg.corr_lookup):
+        from accflow_tpu.ops.corr import ondemand_chunk, prepare_ondemand_chunks
+
+        pyramid = prepare_ondemand_chunks(
+            pyramid, ondemand_chunk(cfg.corr_lookup)
+        )
 
     pf_ops = pf_plan = None
     lookup_impl = cfg.corr_lookup

@@ -501,6 +501,11 @@ def raft_iterate(
 
     pf_ops = pf_plan = None
     lookup_impl = cfg.corr_lookup
+    if is_ondemand(lookup_impl):
+        # Chunk-major f1 layout hoisted out of the scan (loop-invariant).
+        from accflow_tpu.ops.corr import ondemand_chunk, prepare_ondemand_chunks
+
+        pyramid = prepare_ondemand_chunks(pyramid, ondemand_chunk(lookup_impl))
     if lookup_impl == "pallas_fused" and not cfg.small:
         # Fused Pallas lookup (ops/corr_pallas.py): repack the pyramid into
         # the kernel's streaming layouts ONCE, outside the scan (manual

@@ -211,8 +211,32 @@ def build_corr_on_demand(
     )
 
 
+class OnDemandChunks(NamedTuple):
+    """OnDemandCorr with f1 pre-split chunk-major: (nch, B, chunk, C).
+    Prepared ONCE outside an iteration loop (prepare_ondemand_chunks) so
+    the loop-invariant reshape/transpose is not re-emitted per scan step
+    (XLA's loop-invariant motion across scan bodies is not guaranteed)."""
+
+    f1s: jnp.ndarray
+    f2_levels: tuple[jnp.ndarray, ...]
+    shapes: tuple[tuple[int, int], ...]
+    h1: int
+    w1: int
+    vol_dtype: str
+    chunk: int
+
+
+def prepare_ondemand_chunks(od: OnDemandCorr, chunk: int) -> OnDemandChunks:
+    b, q, c = od.f1.shape
+    chunk = _divisor_chunk(q, chunk)
+    f1s = od.f1.reshape(b, q // chunk, chunk, c).transpose(1, 0, 2, 3)
+    return OnDemandChunks(
+        f1s, od.f2_levels, od.shapes, od.h1, od.w1, od.vol_dtype, chunk
+    )
+
+
 def lookup_corr_on_demand(
-    od: OnDemandCorr,
+    od,
     coords: jnp.ndarray,
     radius: int = 4,
     chunk: int = 1024,
@@ -230,14 +254,23 @@ def lookup_corr_on_demand(
 
     chunk: requested queries per chunk; rounded down to the largest
     divisor of H*W so every chunk has one static shape.
-    Numerically identical to lookup_corr on a float32
-    build_corr_pyramid(precision=precision) volume."""
+    Numerically identical to lookup_corr on a
+    build_corr_pyramid(precision=precision, dtype=vol_dtype) volume.
+
+    od: OnDemandCorr, or OnDemandChunks when the caller looks up inside
+    an iteration loop (the chunk-major f1 layout is then prepared once,
+    outside the loop, and the `chunk` argument is ignored)."""
     b, h, w, _ = coords.shape
     num = 2 * radius + 1
     qtot = h * w
-    chunk = _divisor_chunk(qtot, chunk)
+    prepared = isinstance(od, OnDemandChunks)
+    if prepared:
+        chunk = od.chunk
+        c = od.f1s.shape[-1]
+    else:
+        chunk = _divisor_chunk(qtot, chunk)
+        c = od.f1.shape[-1]
     nch = qtot // chunk
-    c = od.f1.shape[-1]
     inv_sqrt_c = 1.0 / jnp.sqrt(jnp.float32(c))
     delta = jnp.linspace(-radius, radius, num, dtype=jnp.float32)
 
@@ -270,9 +303,13 @@ def lookup_corr_on_demand(
 
     cf32 = coords.reshape(b, nch, chunk, 2).astype(jnp.float32)
     if nch == 1:
-        out = one_chunk(od.f1, cf32[:, 0])[None]
+        f1c = od.f1s[0] if prepared else od.f1
+        out = one_chunk(f1c, cf32[:, 0])[None]
     else:
-        f1s = od.f1.reshape(b, nch, chunk, c).transpose(1, 0, 2, 3)
+        f1s = (
+            od.f1s if prepared
+            else od.f1.reshape(b, nch, chunk, c).transpose(1, 0, 2, 3)
+        )
         out = jax.lax.map(
             lambda args: jax.checkpoint(one_chunk)(*args),
             (f1s, cf32.transpose(1, 0, 2, 3)),
@@ -453,7 +490,7 @@ def lookup(
     OnDemandCorr from build_corr_on_demand; every other impl requires a
     materialized CorrPyramid."""
     if is_ondemand(impl):
-        if not isinstance(pyramid, OnDemandCorr):
+        if not isinstance(pyramid, (OnDemandCorr, OnDemandChunks)):
             raise TypeError(
                 "impl='ondemand' needs build_corr_on_demand operands, got "
                 f"{type(pyramid).__name__}"
@@ -461,7 +498,7 @@ def lookup(
         return lookup_corr_on_demand(
             pyramid, coords, radius, ondemand_chunk(impl), precision
         )
-    if isinstance(pyramid, OnDemandCorr):
+    if isinstance(pyramid, (OnDemandCorr, OnDemandChunks)):
         raise TypeError(
             f"impl={impl!r} needs a materialized CorrPyramid; the model was "
             "built with on-demand correlation operands"

@@ -340,6 +340,15 @@ def test_lookup_corr_on_demand_equals_mm(rng):
     with pytest.raises(ValueError, match="chunk suffix"):
         ops.lookup(od, jnp.asarray(coords), radius=4, impl="ondemand:1k")
 
+    # pre-chunked operands (the hoisted in-loop form) are identical
+    from accflow_tpu.ops.corr import prepare_ondemand_chunks
+
+    odc = prepare_ondemand_chunks(od, 64)
+    got = np.asarray(
+        ops.lookup_corr_on_demand(odc, jnp.asarray(coords), radius=4)
+    )
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
     # vol_dtype quantization matches a stored volume of the same dtype
     pyr_bf = ops.build_corr_pyramid(
         jnp.asarray(f1), jnp.asarray(f2), num_levels=4, dtype=jnp.bfloat16
