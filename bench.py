@@ -47,8 +47,29 @@ ITERS = 5
 
 
 def main() -> None:
+    _require_device()
     for batch in BATCHES:
         run_one(batch)
+
+
+def _require_device() -> None:
+    """Refuse to 'measure' on the CPU fallback the axon plugin degrades to
+    when the relay is down. No in-process retry: jax caches a failed
+    backend init, so the honest recovery is exiting non-zero and letting
+    the caller relaunch (relay drops are usually transient — CLAUDE.md)."""
+    import jax
+
+    try:
+        ok = jax.devices()[0].platform in ("tpu", "axon")
+    except Exception as e:  # backend init error
+        print(f"bench: device probe failed ({e!s:.200})", flush=True)
+        ok = False
+    if ok or os.environ.get("BENCH_ALLOW_CPU"):
+        return
+    raise SystemExit(
+        "bench: no TPU device (relay down?) — refusing to print CPU "
+        "numbers; set BENCH_ALLOW_CPU=1 to override"
+    )
 
 
 def run_one(BATCH: int) -> None:
