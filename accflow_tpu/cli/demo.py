@@ -198,10 +198,13 @@ def main(argv=None):
                         "previous flow advected along itself (streaming)")
     parser.add_argument("--no_viz", action="store_true",
                         help="skip the flow-colour PNGs, write .flo only")
-    parser.add_argument("--corr_lookup", type=str, default="fused",
-                        help="correlation impl (ops/corr.py). For frames "
-                        "past ~1500^2 use 'ondemand[:chunk]' — the "
-                        "volume-free mode that fits any resolution")
+    parser.add_argument("--corr_lookup", type=str, default="auto",
+                        help="correlation impl (ops/corr.py). Default "
+                        "'auto' uses the fast stored-volume path while it "
+                        "fits HBM and switches to the volume-free "
+                        "'ondemand' mode past that, so any frame size "
+                        "works; force 'ondemand[:chunk]'/'fused'/... to "
+                        "override")
     parser.add_argument("--attn_chunk", type=int, default=0,
                         help="gma only: >0 recomputes attention per query "
                         "chunk instead of storing the (HW)^2 matrix "

@@ -50,6 +50,7 @@ from accflow_tpu.ops.corr import (
     _divisor_chunk,
     build_corr_operands,
     is_ondemand,
+    resolve_auto_lookup,
     lookup,
     lookup_corr_split,
     lookup_corr_split_packed,
@@ -341,6 +342,8 @@ def gma_forward(
     iters = cfg.iters if iters is None else iters
     cd = jnp.dtype(cfg.compute_dtype)
     n = image1.shape[0]
+    cfg = dataclasses.replace(cfg, corr_lookup=resolve_auto_lookup(
+        cfg.corr_lookup, n, image1.shape[1] // 8, image1.shape[2] // 8))
 
     imgs = jnp.concatenate([image1, image2], axis=0).astype(cd)
     fmaps = basic_encoder(params["fnet"], imgs, "instance",
@@ -534,6 +537,8 @@ def gma_pairs_forward(
     dst_idx = tuple(int(i) for i in dst_idx)
     k, n, h, w, _ = frames.shape
     p = len(src_idx)
+    cfg = dataclasses.replace(cfg, corr_lookup=resolve_auto_lookup(
+        cfg.corr_lookup, p * n, h // 8, w // 8))
 
     used = sorted(set(src_idx) | set(dst_idx))
     pos = {f: i for i, f in enumerate(used)}

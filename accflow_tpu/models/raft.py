@@ -39,6 +39,7 @@ from accflow_tpu.nn.layers import conv2d, init_conv, relu
 from accflow_tpu.ops.corr import (
     build_corr_operands,
     is_ondemand,
+    resolve_auto_lookup,
     lookup,
     lookup_corr_split,
     lookup_corr_split_packed,
@@ -66,7 +67,10 @@ class RAFTConfig:
     # einsummed into convc1), "mm", "rows", "patch", "gather", "packed",
     # "packed2", "fusedv", "fused_vy[_cat]", "fused_cat", "fused_bd[2]",
     # "fused_mix:<l0,l1,l2,l3>", "pallas" (per-query kernel),
-    # "pallas_fused" (all-levels kernel; inference-only, guarded).
+    # "pallas_fused" (all-levels kernel; inference-only, guarded),
+    # "ondemand[:chunk]" (volume-free streaming recompute — the hi-res
+    # memory mode, see ops/corr.py::OnDemandCorr), or "auto" (fused while
+    # the stored volume fits AUTO_VOLUME_BYTES, ondemand beyond).
     corr_lookup: str = "fused"
     # Unroll factor for the GRU-iteration lax.scan. The serving trace
     # attributes ~7 ms/step to while-loop boundary slice/copy ops; unrolling
@@ -465,6 +469,9 @@ def raft_forward(
       flow_low    — final 1/8-res flow (N, H/8, W/8, 2)
     """
     iters = cfg.iters if iters is None else iters
+    n, h, w = image1.shape[0], image1.shape[1], image1.shape[2]
+    cfg = dataclasses.replace(cfg, corr_lookup=resolve_auto_lookup(
+        cfg.corr_lookup, n, h // 8, w // 8))
     pyramid, net, inp = raft_features(params, image1, image2, cfg, train)
     return raft_iterate(
         params, pyramid, net, inp, cfg, iters=iters, flow_init=flow_init,
@@ -671,6 +678,8 @@ def raft_pairs_forward(
     dst_idx = tuple(int(i) for i in dst_idx)
     k, n, h, w, _ = frames.shape
     p = len(src_idx)
+    cfg = dataclasses.replace(cfg, corr_lookup=resolve_auto_lookup(
+        cfg.corr_lookup, p * n, h // 8, w // 8))
 
     used = sorted(set(src_idx) | set(dst_idx))
     pos = {f: i for i, f in enumerate(used)}

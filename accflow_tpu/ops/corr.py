@@ -108,6 +108,30 @@ def is_ondemand(lookup_impl: str) -> bool:
     return lookup_impl.split(":", 1)[0] == "ondemand"
 
 
+# Stored-volume budget for corr_lookup="auto": above this many bytes of
+# f32 correlation volume (all levels, whole batch) the volume-free
+# ondemand mode is selected. 4 GB leaves room on a 16 GB chip for the
+# model, its activations, and XLA temporaries at serving batch sizes.
+AUTO_VOLUME_BYTES = 4 << 30
+
+
+def resolve_auto_lookup(lookup_impl: str, batch: int, h8: int, w8: int,
+                        default: str = "fused") -> str:
+    """Resolve corr_lookup='auto' from the 1/8-res feature shape: the
+    fused stored-volume path while the volume fits AUTO_VOLUME_BYTES,
+    'ondemand' beyond it. Non-auto impls pass through unchanged."""
+    if lookup_impl != "auto":
+        return lookup_impl
+    q = h8 * w8
+    k_total = 0
+    hl, wl = h8, w8
+    for _ in range(4):
+        k_total += hl * wl
+        hl, wl = hl // 2, wl // 2
+    vol_bytes = batch * q * k_total * 4
+    return default if vol_bytes <= AUTO_VOLUME_BYTES else "ondemand"
+
+
 def ondemand_chunk(lookup_impl: str, default: int = 1024) -> int:
     """Parse the ':chunk' suffix of an ondemand impl string."""
     if ":" not in lookup_impl:

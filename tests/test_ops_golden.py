@@ -399,6 +399,34 @@ def test_raft_forward_ondemand_matches_mm(rng):
         )
 
 
+def test_corr_lookup_auto_resolution(rng, monkeypatch):
+    """corr_lookup='auto' picks the stored-volume path while it fits the
+    budget and the volume-free mode beyond it; both produce the default
+    path's flows."""
+    import jax
+    from accflow_tpu.ops import corr as corr_mod
+    from accflow_tpu.models.raft import RAFTConfig, init_raft, raft_forward
+
+    assert corr_mod.resolve_auto_lookup("auto", 1, 64, 64) == "fused"
+    # 2048^2 at pair-batch 3: 3 * 65536^2 * 1.33 * 4 B >> 4 GB
+    assert corr_mod.resolve_auto_lookup("auto", 3, 256, 256) == "ondemand"
+    assert corr_mod.resolve_auto_lookup("mm", 3, 256, 256) == "mm"
+
+    i1 = jnp.asarray(rng.standard_normal((1, 64, 64, 3)).astype(np.float32))
+    i2 = jnp.asarray(rng.standard_normal((1, 64, 64, 3)).astype(np.float32))
+    cfg_mm = RAFTConfig(compute_dtype="float32", corr_lookup="mm")
+    cfg_auto = RAFTConfig(compute_dtype="float32", corr_lookup="auto")
+    params = init_raft(jax.random.PRNGKey(0), cfg_mm)
+    ref = np.asarray(raft_forward(params, i1, i2, cfg_mm, iters=2)["flow_up"])
+    # small shape -> auto resolves to fused
+    out = raft_forward(params, i1, i2, cfg_auto, iters=2)["flow_up"]
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
+    # shrink the budget -> auto resolves to ondemand; flows unchanged
+    monkeypatch.setattr(corr_mod, "AUTO_VOLUME_BYTES", 1)
+    out_od = raft_forward(params, i1, i2, cfg_auto, iters=2)["flow_up"]
+    np.testing.assert_allclose(np.asarray(out_od), ref, rtol=1e-4, atol=1e-4)
+
+
 def test_gma_forward_ondemand_matches_mm(rng):
     """GMA threads corr_lookup through the same dispatcher: on-demand
     (volume-free) == mm volume path."""
