@@ -205,10 +205,11 @@ def main(argv=None):
                         "'ondemand' mode past that, so any frame size "
                         "works; force 'ondemand[:chunk]'/'fused'/... to "
                         "override")
-    parser.add_argument("--attn_chunk", type=int, default=0,
+    parser.add_argument("--attn_chunk", type=int, default=-1,
                         help="gma only: >0 recomputes attention per query "
-                        "chunk instead of storing the (HW)^2 matrix "
-                        "(pairs with --corr_lookup ondemand at hi-res)")
+                        "chunk instead of storing the (HW)^2 matrix; "
+                        "-1 (default) switches automatically past the "
+                        "memory budget; 0 forces the dense matrix")
     parser.add_argument("--artifact", type=str, default=None,
                         help="exported StableHLO serving artifact "
                         "(cli.export_serving); implies long-range mode "

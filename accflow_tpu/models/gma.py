@@ -95,6 +95,8 @@ class GMAConfig:
     # at 1024^2 inputs the stored matrix alone is 1 GB bf16 plus a 4 GB
     # f32 softmax temporary; chunking is what makes GMA fit at all.
     # Exact (content-only branch; same f32 softmax, same matmul dtypes).
+    # -1 = auto: dense while the f32 similarity fits AUTO_VOLUME_BYTES,
+    # chunks of 1024 beyond (resolved per input shape, like corr "auto").
     attn_chunk: int = 0
     # Space-to-depth stem (see RAFTConfig.stem_s2d).
     stem_s2d: bool = False
@@ -168,6 +170,20 @@ class AttnChunks(NamedTuple):
 
     qs: jnp.ndarray
     k: jnp.ndarray
+
+
+def resolve_auto_attn_chunk(attn_chunk: int, batch: int, heads: int,
+                            h8: int, w8: int) -> int:
+    """Resolve attn_chunk=-1 (auto): dense attention while the f32
+    similarity matrix fits the stored-volume budget, 1024-query chunks
+    beyond it. Non-negative values pass through unchanged."""
+    from accflow_tpu.ops.corr import AUTO_VOLUME_BYTES
+
+    if attn_chunk >= 0:
+        return attn_chunk
+    hw = h8 * w8
+    sim_bytes = batch * heads * hw * hw * 4
+    return 0 if sim_bytes <= AUTO_VOLUME_BYTES else 1024
 
 
 def prepare_attn_chunks(attn: AttnOperands, chunk: int) -> AttnChunks:
@@ -342,8 +358,14 @@ def gma_forward(
     iters = cfg.iters if iters is None else iters
     cd = jnp.dtype(cfg.compute_dtype)
     n = image1.shape[0]
-    cfg = dataclasses.replace(cfg, corr_lookup=resolve_auto_lookup(
-        cfg.corr_lookup, n, image1.shape[1] // 8, image1.shape[2] // 8))
+    cfg = dataclasses.replace(
+        cfg,
+        corr_lookup=resolve_auto_lookup(
+            cfg.corr_lookup, n, image1.shape[1] // 8, image1.shape[2] // 8),
+        attn_chunk=resolve_auto_attn_chunk(
+            cfg.attn_chunk, n, cfg.num_heads,
+            image1.shape[1] // 8, image1.shape[2] // 8),
+    )
 
     imgs = jnp.concatenate([image1, image2], axis=0).astype(cd)
     fmaps = basic_encoder(params["fnet"], imgs, "instance",
@@ -537,8 +559,13 @@ def gma_pairs_forward(
     dst_idx = tuple(int(i) for i in dst_idx)
     k, n, h, w, _ = frames.shape
     p = len(src_idx)
-    cfg = dataclasses.replace(cfg, corr_lookup=resolve_auto_lookup(
-        cfg.corr_lookup, p * n, h // 8, w // 8))
+    cfg = dataclasses.replace(
+        cfg,
+        corr_lookup=resolve_auto_lookup(
+            cfg.corr_lookup, p * n, h // 8, w // 8),
+        attn_chunk=resolve_auto_attn_chunk(
+            cfg.attn_chunk, p * n, cfg.num_heads, h // 8, w // 8),
+    )
 
     used = sorted(set(src_idx) | set(dst_idx))
     pos = {f: i for i, f in enumerate(used)}

@@ -427,6 +427,31 @@ def test_corr_lookup_auto_resolution(rng, monkeypatch):
     np.testing.assert_allclose(np.asarray(out_od), ref, rtol=1e-4, atol=1e-4)
 
 
+def test_gma_attn_chunk_auto(rng, monkeypatch):
+    """attn_chunk=-1 resolves per input shape: dense under the budget,
+    chunked above it — flows identical either way."""
+    import jax
+    from accflow_tpu.models import gma as gma_mod
+    from accflow_tpu.models.gma import GMAConfig, gma_forward, init_gma
+    from accflow_tpu.ops import corr as corr_mod
+
+    assert gma_mod.resolve_auto_attn_chunk(-1, 1, 1, 64, 64) == 0
+    assert gma_mod.resolve_auto_attn_chunk(-1, 3, 1, 256, 256) == 1024
+    assert gma_mod.resolve_auto_attn_chunk(16, 3, 1, 256, 256) == 16
+
+    i1 = jnp.asarray(rng.standard_normal((1, 64, 64, 3)).astype(np.float32))
+    i2 = jnp.asarray(rng.standard_normal((1, 64, 64, 3)).astype(np.float32))
+    cfg_dense = GMAConfig(compute_dtype="float32")
+    cfg_auto = GMAConfig(compute_dtype="float32", attn_chunk=-1)
+    params = init_gma(jax.random.PRNGKey(0), cfg_dense)
+    ref = np.asarray(gma_forward(params, i1, i2, cfg_dense, iters=2)["flow_up"])
+    out = gma_forward(params, i1, i2, cfg_auto, iters=2)["flow_up"]
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
+    monkeypatch.setattr(corr_mod, "AUTO_VOLUME_BYTES", 1)
+    out_ch = gma_forward(params, i1, i2, cfg_auto, iters=2)["flow_up"]
+    np.testing.assert_allclose(np.asarray(out_ch), ref, rtol=1e-4, atol=1e-4)
+
+
 def test_gma_forward_ondemand_matches_mm(rng):
     """GMA threads corr_lookup through the same dispatcher: on-demand
     (volume-free) == mm volume path."""
