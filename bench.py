@@ -54,22 +54,52 @@ def main() -> None:
 
 def _require_device() -> None:
     """Refuse to 'measure' on the CPU fallback the axon plugin degrades to
-    when the relay is down. No in-process retry: jax caches a failed
-    backend init, so the honest recovery is exiting non-zero and letting
-    the caller relaunch (relay drops are usually transient — CLAUDE.md)."""
-    import jax
+    when the relay is down.
 
-    try:
-        ok = jax.devices()[0].platform in ("tpu", "axon")
-    except Exception as e:  # backend init error
-        print(f"bench: device probe failed ({e!s:.200})", flush=True)
-        ok = False
-    if ok or os.environ.get("BENCH_ALLOW_CPU"):
+    The probe runs in a SUBPROCESS with a timeout: a downed relay can make
+    `jax.devices()` block indefinitely in-process, and jax caches a failed
+    backend init, so neither hanging nor retrying in-process is safe.
+    Relay drops are usually transient (CLAUDE.md), so failed probes are
+    retried fresh-process for a bounded window (BENCH_RETRY_MIN minutes,
+    default 20) before giving up non-zero rather than printing CPU numbers.
+    """
+    if os.environ.get("BENCH_ALLOW_CPU"):
         return
-    raise SystemExit(
-        "bench: no TPU device (relay down?) — refusing to print CPU "
-        "numbers; set BENCH_ALLOW_CPU=1 to override"
-    )
+    import subprocess
+    import sys
+
+    probe = [
+        sys.executable,
+        "-c",
+        "import jax; d = jax.devices();"
+        " assert d and d[0].platform in ('tpu', 'axon'), d;"
+        " import jax.numpy as jnp;"
+        " print(float((jnp.ones((256, 256)) @ jnp.ones((256, 256))).sum()))",
+    ]
+    deadline = time.time() + 60.0 * float(os.environ.get("BENCH_RETRY_MIN", "20"))
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            rc = subprocess.run(
+                probe, timeout=420, stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL,
+            ).returncode
+        except subprocess.TimeoutExpired:
+            rc = -1
+        if rc == 0:
+            return
+        if time.time() >= deadline:
+            raise SystemExit(
+                "bench: no TPU device after %d probes (relay down?) — "
+                "refusing to print CPU numbers; set BENCH_ALLOW_CPU=1 to "
+                "override" % attempt
+            )
+        print(
+            "bench: TPU relay probe %d failed; retrying in 120 s" % attempt,
+            file=sys.stderr, flush=True,
+        )
+        time.sleep(120)
 
 
 def run_one(BATCH: int) -> None:
