@@ -46,11 +46,15 @@ from accflow_tpu.models.raft import (
     upsample_mask,
 )
 from accflow_tpu.nn.layers import conv2d, init_conv, relu
+import accflow_tpu.ops.corr as _corr
 from accflow_tpu.ops.corr import (
     _divisor_chunk,
     build_corr_operands,
     is_ondemand,
+    ondemand_chunk,
+    prepare_ondemand_chunks,
     resolve_auto_lookup,
+    stored_volume_bytes,
     lookup,
     lookup_corr_split,
     lookup_corr_split_packed,
@@ -173,17 +177,23 @@ class AttnChunks(NamedTuple):
 
 
 def resolve_auto_attn_chunk(attn_chunk: int, batch: int, heads: int,
-                            h8: int, w8: int) -> int:
-    """Resolve attn_chunk=-1 (auto): dense attention while the f32
-    similarity matrix fits the stored-volume budget, 1024-query chunks
-    beyond it. Non-negative values pass through unchanged."""
-    from accflow_tpu.ops.corr import AUTO_VOLUME_BYTES
+                            h8: int, w8: int, reserved_bytes: int = 0) -> int:
+    """Resolve attn_chunk=-1 (auto): dense attention while the attention
+    storage fits the stored-volume budget, 1024-query chunks beyond it.
+    Non-negative values pass through unchanged.
 
+    Dense cost = the f32 similarity temporary plus the compute-dtype
+    softmaxed matrix that coexists with it (6 B/element at bf16).
+    `reserved_bytes` is HBM already committed by a co-resident stored
+    structure (the corr volume when GMA's corr_lookup resolves to a
+    stored impl) — both consumers share ONE budget, so attention yields
+    first (the corr lookup is the hotter path). AUTO_VOLUME_BYTES is read
+    through the module so tests can monkeypatch it."""
     if attn_chunk >= 0:
         return attn_chunk
     hw = h8 * w8
-    sim_bytes = batch * heads * hw * hw * 4
-    return 0 if sim_bytes <= AUTO_VOLUME_BYTES else 1024
+    attn_bytes = batch * heads * hw * hw * 6
+    return 0 if attn_bytes + reserved_bytes <= _corr.AUTO_VOLUME_BYTES else 1024
 
 
 def prepare_attn_chunks(attn: AttnOperands, chunk: int) -> AttnChunks:
@@ -358,13 +368,17 @@ def gma_forward(
     iters = cfg.iters if iters is None else iters
     cd = jnp.dtype(cfg.compute_dtype)
     n = image1.shape[0]
+    h8, w8 = image1.shape[1] // 8, image1.shape[2] // 8
+    vdt = jnp.dtype(cfg.corr_volume_dtype)
+    corr_lookup = resolve_auto_lookup(
+        cfg.corr_lookup, n, h8, w8, num_levels=cfg.corr_levels, dtype=vdt)
     cfg = dataclasses.replace(
         cfg,
-        corr_lookup=resolve_auto_lookup(
-            cfg.corr_lookup, n, image1.shape[1] // 8, image1.shape[2] // 8),
+        corr_lookup=corr_lookup,
         attn_chunk=resolve_auto_attn_chunk(
-            cfg.attn_chunk, n, cfg.num_heads,
-            image1.shape[1] // 8, image1.shape[2] // 8),
+            cfg.attn_chunk, n, cfg.num_heads, h8, w8,
+            reserved_bytes=0 if is_ondemand(corr_lookup) else
+            stored_volume_bytes(n, h8, w8, cfg.corr_levels, vdt)),
     )
 
     imgs = jnp.concatenate([image1, image2], axis=0).astype(cd)
@@ -423,8 +437,6 @@ def gma_iterate(
         # Chunk-major q layout hoisted out of the scan (loop-invariant).
         attn = prepare_attn_chunks(attn, cfg.attn_chunk)
     if is_ondemand(cfg.corr_lookup):
-        from accflow_tpu.ops.corr import ondemand_chunk, prepare_ondemand_chunks
-
         pyramid = prepare_ondemand_chunks(
             pyramid, ondemand_chunk(cfg.corr_lookup)
         )
@@ -559,12 +571,17 @@ def gma_pairs_forward(
     dst_idx = tuple(int(i) for i in dst_idx)
     k, n, h, w, _ = frames.shape
     p = len(src_idx)
+    h8, w8 = h // 8, w // 8
+    vdt = jnp.dtype(cfg.corr_volume_dtype)
+    corr_lookup = resolve_auto_lookup(
+        cfg.corr_lookup, p * n, h8, w8, num_levels=cfg.corr_levels, dtype=vdt)
     cfg = dataclasses.replace(
         cfg,
-        corr_lookup=resolve_auto_lookup(
-            cfg.corr_lookup, p * n, h // 8, w // 8),
+        corr_lookup=corr_lookup,
         attn_chunk=resolve_auto_attn_chunk(
-            cfg.attn_chunk, p * n, cfg.num_heads, h // 8, w // 8),
+            cfg.attn_chunk, p * n, cfg.num_heads, h8, w8,
+            reserved_bytes=0 if is_ondemand(corr_lookup) else
+            stored_volume_bytes(p * n, h8, w8, cfg.corr_levels, vdt)),
     )
 
     used = sorted(set(src_idx) | set(dst_idx))

@@ -39,6 +39,8 @@ from accflow_tpu.nn.layers import conv2d, init_conv, relu
 from accflow_tpu.ops.corr import (
     build_corr_operands,
     is_ondemand,
+    ondemand_chunk,
+    prepare_ondemand_chunks,
     resolve_auto_lookup,
     lookup,
     lookup_corr_split,
@@ -471,7 +473,8 @@ def raft_forward(
     iters = cfg.iters if iters is None else iters
     n, h, w = image1.shape[0], image1.shape[1], image1.shape[2]
     cfg = dataclasses.replace(cfg, corr_lookup=resolve_auto_lookup(
-        cfg.corr_lookup, n, h // 8, w // 8))
+        cfg.corr_lookup, n, h // 8, w // 8, num_levels=cfg.corr_levels,
+        dtype=jnp.dtype(cfg.corr_volume_dtype)))
     pyramid, net, inp = raft_features(params, image1, image2, cfg, train)
     return raft_iterate(
         params, pyramid, net, inp, cfg, iters=iters, flow_init=flow_init,
@@ -510,8 +513,6 @@ def raft_iterate(
     lookup_impl = cfg.corr_lookup
     if is_ondemand(lookup_impl):
         # Chunk-major f1 layout hoisted out of the scan (loop-invariant).
-        from accflow_tpu.ops.corr import ondemand_chunk, prepare_ondemand_chunks
-
         pyramid = prepare_ondemand_chunks(pyramid, ondemand_chunk(lookup_impl))
     if lookup_impl == "pallas_fused" and not cfg.small:
         # Fused Pallas lookup (ops/corr_pallas.py): repack the pyramid into
@@ -679,7 +680,8 @@ def raft_pairs_forward(
     k, n, h, w, _ = frames.shape
     p = len(src_idx)
     cfg = dataclasses.replace(cfg, corr_lookup=resolve_auto_lookup(
-        cfg.corr_lookup, p * n, h // 8, w // 8))
+        cfg.corr_lookup, p * n, h // 8, w // 8, num_levels=cfg.corr_levels,
+        dtype=jnp.dtype(cfg.corr_volume_dtype)))
 
     used = sorted(set(src_idx) | set(dst_idx))
     pos = {f: i for i, f in enumerate(used)}

@@ -109,26 +109,40 @@ def is_ondemand(lookup_impl: str) -> bool:
 
 
 # Stored-volume budget for corr_lookup="auto": above this many bytes of
-# f32 correlation volume (all levels, whole batch) the volume-free
-# ondemand mode is selected. 4 GB leaves room on a 16 GB chip for the
-# model, its activations, and XLA temporaries at serving batch sizes.
+# correlation volume (all levels, whole batch, as laid out in HBM) the
+# volume-free ondemand mode is selected. 4 GB leaves room on a 16 GB
+# chip for the model, its activations, and XLA temporaries at serving
+# batch sizes.
 AUTO_VOLUME_BYTES = 4 << 30
 
 
+def stored_volume_bytes(batch: int, h8: int, w8: int, num_levels: int = 4,
+                        dtype=jnp.float32) -> int:
+    """HBM footprint of the stored corr pyramid. Each level is a
+    (B*H8*W8, hl, wl) array and XLA pads the minor dim to 128 lanes and
+    the second-minor to the dtype's sublane multiple (8 f32 / 16 bf16),
+    so levels narrower than 128 cost up to ~2.8x their logical size —
+    the padded-volume OOM is exactly what the auto mode must predict."""
+    itemsize = jnp.dtype(dtype).itemsize
+    sublane = 32 // itemsize
+    padded_k = 0
+    hl, wl = h8, w8
+    for _ in range(num_levels):
+        padded_k += (-(-hl // sublane) * sublane) * (-(-wl // 128) * 128)
+        hl, wl = max(hl // 2, 1), max(wl // 2, 1)
+    return batch * h8 * w8 * padded_k * itemsize
+
+
 def resolve_auto_lookup(lookup_impl: str, batch: int, h8: int, w8: int,
-                        default: str = "fused") -> str:
+                        default: str = "fused", num_levels: int = 4,
+                        dtype=jnp.float32) -> str:
     """Resolve corr_lookup='auto' from the 1/8-res feature shape: the
-    fused stored-volume path while the volume fits AUTO_VOLUME_BYTES,
-    'ondemand' beyond it. Non-auto impls pass through unchanged."""
+    fused stored-volume path while the padded volume (stored_volume_bytes)
+    fits AUTO_VOLUME_BYTES, 'ondemand' beyond it. Non-auto impls pass
+    through unchanged."""
     if lookup_impl != "auto":
         return lookup_impl
-    q = h8 * w8
-    k_total = 0
-    hl, wl = h8, w8
-    for _ in range(4):
-        k_total += hl * wl
-        hl, wl = hl // 2, wl // 2
-    vol_bytes = batch * q * k_total * 4
+    vol_bytes = stored_volume_bytes(batch, h8, w8, num_levels, dtype)
     return default if vol_bytes <= AUTO_VOLUME_BYTES else "ondemand"
 
 

@@ -48,6 +48,19 @@ ITERS = 5
 
 def main() -> None:
     _require_device()
+    if not os.environ.get("BENCH_ALLOW_CPU"):
+        # The probe ran in a throwaway subprocess; re-check the backend the
+        # MAIN process actually initialized — the relay can drop between
+        # probe exit and our own jax init, degrading us to the CPU fallback.
+        import jax
+
+        backend = jax.default_backend()
+        if backend not in ("tpu", "axon"):
+            raise SystemExit(
+                "bench: main process initialized backend %r after a "
+                "successful TPU probe (relay dropped?) — refusing to print "
+                "CPU numbers" % backend
+            )
     for batch in BATCHES:
         run_one(batch)
 

@@ -411,6 +411,18 @@ def test_corr_lookup_auto_resolution(rng, monkeypatch):
     # 2048^2 at pair-batch 3: 3 * 65536^2 * 1.33 * 4 B >> 4 GB
     assert corr_mod.resolve_auto_lookup("auto", 3, 256, 256) == "ondemand"
     assert corr_mod.resolve_auto_lookup("mm", 3, 256, 256) == "mm"
+    # The budget counts the PADDED layout: levels are (B*Q, hl, wl) and XLA
+    # pads wl to 128 lanes / hl to the sublane multiple, so 512^2 levels
+    # cost 2.8x their logical bytes (CLAUDE.md's documented OOM driver).
+    assert corr_mod.stored_volume_bytes(1, 64, 64) == 4096 * 15360 * 4
+    # 768^2 batch 8: logical 3.4 GB would sail under the budget, padded
+    # 6.5 GB correctly switches to the volume-free mode.
+    assert corr_mod.resolve_auto_lookup("auto", 8, 96, 96) == "ondemand"
+    # corr_levels and corr_volume_dtype change the footprint and are honored.
+    assert corr_mod.resolve_auto_lookup("auto", 8, 96, 96, num_levels=1) == "fused"
+    assert corr_mod.resolve_auto_lookup("auto", 3, 128, 128) == "ondemand"
+    assert corr_mod.resolve_auto_lookup(
+        "auto", 3, 128, 128, dtype=jnp.bfloat16) == "fused"
 
     i1 = jnp.asarray(rng.standard_normal((1, 64, 64, 3)).astype(np.float32))
     i2 = jnp.asarray(rng.standard_normal((1, 64, 64, 3)).astype(np.float32))
@@ -438,6 +450,22 @@ def test_gma_attn_chunk_auto(rng, monkeypatch):
     assert gma_mod.resolve_auto_attn_chunk(-1, 1, 1, 64, 64) == 0
     assert gma_mod.resolve_auto_attn_chunk(-1, 3, 1, 256, 256) == 1024
     assert gma_mod.resolve_auto_attn_chunk(16, 3, 1, 256, 256) == 16
+    # The corr volume and the attention matrix share ONE budget: bytes a
+    # stored corr volume reserves push attention into chunking earlier.
+    assert gma_mod.resolve_auto_attn_chunk(-1, 1, 1, 160, 160) == 0  # 3.7 GB
+    assert gma_mod.resolve_auto_attn_chunk(
+        -1, 1, 1, 160, 160, reserved_bytes=1 << 30) == 1024
+
+    # gma_forward wires the resolved corr volume's padded bytes into the
+    # attention resolution (both stored structures coexist in HBM).
+    seen = {}
+    real_resolve = gma_mod.resolve_auto_attn_chunk
+
+    def spy(attn_chunk, batch, heads, h8, w8, reserved_bytes=0):
+        seen["reserved"] = reserved_bytes
+        return real_resolve(attn_chunk, batch, heads, h8, w8, reserved_bytes)
+
+    monkeypatch.setattr(gma_mod, "resolve_auto_attn_chunk", spy)
 
     i1 = jnp.asarray(rng.standard_normal((1, 64, 64, 3)).astype(np.float32))
     i2 = jnp.asarray(rng.standard_normal((1, 64, 64, 3)).astype(np.float32))
@@ -447,6 +475,9 @@ def test_gma_attn_chunk_auto(rng, monkeypatch):
     ref = np.asarray(gma_forward(params, i1, i2, cfg_dense, iters=2)["flow_up"])
     out = gma_forward(params, i1, i2, cfg_auto, iters=2)["flow_up"]
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
+    # corr resolved to a stored impl at this shape -> its padded bytes were
+    # reserved against the attention budget.
+    assert seen["reserved"] == corr_mod.stored_volume_bytes(1, 8, 8)
     monkeypatch.setattr(corr_mod, "AUTO_VOLUME_BYTES", 1)
     out_ch = gma_forward(params, i1, i2, cfg_auto, iters=2)["flow_up"]
     np.testing.assert_allclose(np.asarray(out_ch), ref, rtol=1e-4, atol=1e-4)
