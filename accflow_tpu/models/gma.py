@@ -177,22 +177,32 @@ class AttnChunks(NamedTuple):
 
 
 def resolve_auto_attn_chunk(attn_chunk: int, batch: int, heads: int,
-                            h8: int, w8: int, reserved_bytes: int = 0) -> int:
+                            h8: int, w8: int, reserved_bytes: int = 0,
+                            compute_dtype="bfloat16",
+                            positional: bool = False) -> int:
     """Resolve attn_chunk=-1 (auto): dense attention while the attention
     storage fits the stored-volume budget, 1024-query chunks beyond it.
     Non-negative values pass through unchanged.
 
     Dense cost = the f32 similarity temporary plus the compute-dtype
-    softmaxed matrix that coexists with it (6 B/element at bf16).
-    `reserved_bytes` is HBM already committed by a co-resident stored
-    structure (the corr volume when GMA's corr_lookup resolves to a
-    stored impl) — both consumers share ONE budget, so attention yields
+    softmaxed matrix that coexists with it (6 B/element at bf16 compute,
+    8 at f32). `reserved_bytes` is HBM already committed by a co-resident
+    stored structure (the corr volume when GMA's corr_lookup resolves to
+    a stored impl) — both consumers share ONE budget, so attention yields
     first (the corr lookup is the hotter path). AUTO_VOLUME_BYTES is read
-    through the module so tests can monkeypatch it."""
+    through the module so tests can monkeypatch it.
+
+    `positional`: the position-only/position+content branches have no
+    chunked form (attention() rejects attn_chunk>0 there), so auto stays
+    dense regardless of size — those configs trade the ValueError mid-
+    forward for the dense memory cost, matching small-input behavior."""
     if attn_chunk >= 0:
         return attn_chunk
+    if positional:
+        return 0
     hw = h8 * w8
-    attn_bytes = batch * heads * hw * hw * 6
+    elem = 4 + jnp.dtype(compute_dtype).itemsize
+    attn_bytes = batch * heads * hw * hw * elem
     return 0 if attn_bytes + reserved_bytes <= _corr.AUTO_VOLUME_BYTES else 1024
 
 
@@ -378,7 +388,9 @@ def gma_forward(
         attn_chunk=resolve_auto_attn_chunk(
             cfg.attn_chunk, n, cfg.num_heads, h8, w8,
             reserved_bytes=0 if is_ondemand(corr_lookup) else
-            stored_volume_bytes(n, h8, w8, cfg.corr_levels, vdt)),
+            stored_volume_bytes(n, h8, w8, cfg.corr_levels, vdt),
+            compute_dtype=cfg.compute_dtype,
+            positional=cfg.position_only or cfg.position_and_content),
     )
 
     imgs = jnp.concatenate([image1, image2], axis=0).astype(cd)
@@ -581,7 +593,9 @@ def gma_pairs_forward(
         attn_chunk=resolve_auto_attn_chunk(
             cfg.attn_chunk, p * n, cfg.num_heads, h8, w8,
             reserved_bytes=0 if is_ondemand(corr_lookup) else
-            stored_volume_bytes(p * n, h8, w8, cfg.corr_levels, vdt)),
+            stored_volume_bytes(p * n, h8, w8, cfg.corr_levels, vdt),
+            compute_dtype=cfg.compute_dtype,
+            positional=cfg.position_only or cfg.position_and_content),
     )
 
     used = sorted(set(src_idx) | set(dst_idx))

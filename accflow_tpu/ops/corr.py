@@ -152,12 +152,20 @@ def ondemand_chunk(lookup_impl: str, default: int = 1024) -> int:
         return default
     suffix = lookup_impl.split(":", 1)[1]
     try:
-        return int(suffix)
+        chunk = int(suffix)
     except ValueError:
         raise ValueError(
             f"bad ondemand chunk suffix {suffix!r} in corr_lookup="
             f"{lookup_impl!r}; expected 'ondemand' or 'ondemand:<int>'"
         ) from None
+    if chunk <= 0:
+        # _divisor_chunk would silently clamp to 1 = per-query lax.map
+        # serialization (~10x slower, CLAUDE.md) — fail loudly instead.
+        raise ValueError(
+            f"ondemand chunk must be positive, got {chunk} in corr_lookup="
+            f"{lookup_impl!r}"
+        )
+    return chunk
 
 
 def _divisor_chunk(total: int, chunk: int) -> int:

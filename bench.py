@@ -51,10 +51,30 @@ def main() -> None:
     if not os.environ.get("BENCH_ALLOW_CPU"):
         # The probe ran in a throwaway subprocess; re-check the backend the
         # MAIN process actually initialized — the relay can drop between
-        # probe exit and our own jax init, degrading us to the CPU fallback.
+        # probe exit and our own jax init, degrading us to the CPU fallback
+        # (caught below) or blocking indefinitely (caught by the watchdog:
+        # a hung bench is worse than a failed one — the driver can retry a
+        # non-zero exit but not a process that never returns).
+        import threading
+
+        init_done = threading.Event()
+
+        def _watchdog() -> None:
+            if not init_done.wait(600):
+                import sys
+
+                print(
+                    "bench: in-process jax init exceeded 600 s after a "
+                    "successful TPU probe (relay dropped?) — aborting",
+                    file=sys.stderr, flush=True,
+                )
+                os._exit(3)
+
+        threading.Thread(target=_watchdog, daemon=True).start()
         import jax
 
         backend = jax.default_backend()
+        init_done.set()
         if backend not in ("tpu", "axon"):
             raise SystemExit(
                 "bench: main process initialized backend %r after a "

@@ -339,6 +339,12 @@ def test_lookup_corr_on_demand_equals_mm(rng):
         ops.lookup(od, jnp.asarray(coords), radius=4, impl="mm")
     with pytest.raises(ValueError, match="chunk suffix"):
         ops.lookup(od, jnp.asarray(coords), radius=4, impl="ondemand:1k")
+    # Non-positive chunks would silently clamp to per-query serialization
+    # (~10x slower) — they must fail loudly instead.
+    with pytest.raises(ValueError, match="must be positive"):
+        ops.lookup(od, jnp.asarray(coords), radius=4, impl="ondemand:0")
+    with pytest.raises(ValueError, match="must be positive"):
+        ops.lookup(od, jnp.asarray(coords), radius=4, impl="ondemand:-8")
 
     # pre-chunked operands (the hoisted in-loop form) are identical
     from accflow_tpu.ops.corr import prepare_ondemand_chunks
@@ -455,15 +461,24 @@ def test_gma_attn_chunk_auto(rng, monkeypatch):
     assert gma_mod.resolve_auto_attn_chunk(-1, 1, 1, 160, 160) == 0  # 3.7 GB
     assert gma_mod.resolve_auto_attn_chunk(
         -1, 1, 1, 160, 160, reserved_bytes=1 << 30) == 1024
+    # f32 compute stores the softmaxed matrix at 4 B not 2 B (8 B/elem
+    # total with the f32 similarity temporary): 160^2 queries = 5.2 GB.
+    assert gma_mod.resolve_auto_attn_chunk(
+        -1, 1, 1, 160, 160, compute_dtype="float32") == 1024
+    # Positional branches have no chunked form: auto stays dense at any
+    # size (dense memory cost over a mid-forward ValueError).
+    assert gma_mod.resolve_auto_attn_chunk(
+        -1, 3, 1, 256, 256, positional=True) == 0
 
     # gma_forward wires the resolved corr volume's padded bytes into the
     # attention resolution (both stored structures coexist in HBM).
     seen = {}
     real_resolve = gma_mod.resolve_auto_attn_chunk
 
-    def spy(attn_chunk, batch, heads, h8, w8, reserved_bytes=0):
+    def spy(attn_chunk, batch, heads, h8, w8, reserved_bytes=0, **kw):
         seen["reserved"] = reserved_bytes
-        return real_resolve(attn_chunk, batch, heads, h8, w8, reserved_bytes)
+        return real_resolve(attn_chunk, batch, heads, h8, w8,
+                            reserved_bytes, **kw)
 
     monkeypatch.setattr(gma_mod, "resolve_auto_attn_chunk", spy)
 
