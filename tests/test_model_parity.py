@@ -215,6 +215,150 @@ def test_accflow_gma_parity(tmp_path):
     assert all(np.isfinite(v) for v in r.values())
 
 
+def _torch_grad_state(model, allow_missing=False):
+    """state_dict-shaped dict of parameter grads (buffers as zeros), so the
+    weight converter's pure transposes/reshapes map torch grads into the
+    exact layout of the jax grad tree. allow_missing: grad-less params
+    (e.g. a frozen OFE under no_grad) become zeros instead of asserting."""
+    out = {}
+    # remove_duplicate=False: the reference registers the encoder downsample
+    # norm under two names sharing one tensor (norm3/norm4 AND downsample.1)
+    # and the converter consumes the downsample copy.
+    for k, p in model.named_parameters(remove_duplicate=False):
+        assert allow_missing or p.grad is not None, f"no grad reached {k}"
+        out[k] = torch.zeros_like(p) if p.grad is None else p.grad
+    for k, b in model.named_buffers(remove_duplicate=False):
+        out[k] = torch.zeros_like(b)
+    return out
+
+
+def _assert_tree_allclose(jax_tree, ref_tree, rtol, atol_frac):
+    leaves_j = jax.tree_util.tree_flatten_with_path(jax_tree)[0]
+    leaves_r = jax.tree_util.tree_leaves(ref_tree)
+    assert len(leaves_j) == len(leaves_r)
+    # Global grad scale: leaves whose TRUE grad is zero (e.g. a conv bias
+    # feeding BatchNorm — the mean shift is normalized away) hold pure f32
+    # noise on both sides; their atol must come from the tree's scale, not
+    # the leaf's.
+    g = max(float(np.abs(np.asarray(l)).max()) for l in leaves_r)
+    for (path, lj), lr in zip(leaves_j, leaves_r):
+        r = np.asarray(lr)
+        # Per-leaf absolute floor scaled to the leaf's grad magnitude:
+        # layer grads span orders of magnitude, one global atol cannot.
+        atol = atol_frac * max(float(np.abs(r).max()), 1e-2 * g)
+        np.testing.assert_allclose(
+            np.asarray(lj), r, rtol=rtol, atol=atol,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}",
+        )
+
+
+def test_raft_grad_parity(image_pair):
+    """Backward-path parity for the fine-tune training step: squared-error
+    loss on the final prediction, full gradients through the 4-iteration
+    recurrence — pins the per-iteration coords detach (raft.py:129),
+    train-mode BatchNorm backward in the context encoder, the corr-lookup
+    and convex-upsample backward, and the GRU chain. Torch grads are
+    mapped through the weight converter (pure transposes), so the trees
+    compare leaf-for-leaf. Squared error instead of the reference's L1
+    (whose grad is sign(pred-gt): f32 forward noise flips near-zero
+    residual signs, making exact L1-grad comparison ill-posed; the
+    network backward path under test is identical)."""
+    import argparse
+    from networks.raft.raft import RAFT
+
+    from accflow_tpu.convert.torch_weights import convert_state_dict
+    from accflow_tpu.models.raft import RAFTConfig, init_raft, raft_forward
+
+    torch.manual_seed(3)
+    model = RAFT(argparse.Namespace(small=False, mixed_precision=False)).train()
+    i1, i2 = image_pair
+    gt_t = torch.from_numpy(
+        (3.0 * np.random.default_rng(11).standard_normal((1, 2, 128, 128)))
+        .astype(np.float32)
+    )
+    flow_up = model(i1, i2, iters=4)
+    loss_t = ((flow_up - gt_t) ** 2).mean()
+    loss_t.backward()
+
+    cfg = RAFTConfig(compute_dtype="float32", iters=4)
+    template = init_raft(jax.random.PRNGKey(0), cfg)
+    params = convert_state_dict(template, model.state_dict())
+    ref_grads = convert_state_dict(template, _torch_grad_state(model))
+    i1j, i2j, gt_j = nhwc(i1), nhwc(i2), nhwc(gt_t)
+
+    def loss_fn(params):
+        out = raft_forward(params, i1j, i2j, cfg, train=True)
+        return ((out["flow_up"] - gt_j) ** 2).mean()
+
+    loss_j, grads = jax.value_and_grad(loss_fn)(params)
+    np.testing.assert_allclose(float(loss_j), float(loss_t.detach()), rtol=1e-4)
+    _assert_tree_allclose(grads, ref_grads, rtol=2e-3, atol_frac=2e-3)
+
+
+def test_accflow_grad_parity():
+    """Backward-path parity for the accumulator training step: a per-step
+    squared-error sequence loss on the accumulated outputs (the smooth
+    stand-in for the reference's L1 sequence_loss_acc — see
+    test_raft_grad_parity on why L1 grads are ill-posed to compare),
+    grads w.r.t. the acc cell only (the OFE sits under no_grad upstream /
+    stop_gradient here — AccFlow_.py:182, and both the carry and the
+    occlusion maps are detached, AccFlow_.py:172,195,198). Torch model in
+    eval() to match the frozen-BN OFE divergence documented in SURVEY
+    §3.4."""
+    import argparse
+    from networks.raft.raft import RAFT
+    from networks.AccFlow_ import AccFlow
+
+    from accflow_tpu.convert.torch_weights import (
+        convert_state_dict,
+        split_accflow_state,
+    )
+    from accflow_tpu.models.accflow import (
+        AccFlowConfig,
+        accflow_forward,
+        init_accflow,
+    )
+    from accflow_tpu.models.raft import RAFTConfig, init_raft, raft_forward
+
+    torch.manual_seed(4)
+    ofe = RAFT(argparse.Namespace(small=False, mixed_precision=False)).eval()
+    model = AccFlow(ofe).eval()
+    model.mixed_precision = False
+
+    rng = np.random.default_rng(13)
+    frames_np = rng.uniform(-1, 1, (4, 1, 3, 128, 128)).astype(np.float32)
+    gts_np = (3.0 * rng.standard_normal((2, 1, 2, 128, 128))).astype(np.float32)
+    outs_t = model(images=[torch.from_numpy(f) for f in frames_np])
+    loss_t = sum(
+        ((o - torch.from_numpy(g)) ** 2).mean()
+        for o, g in zip(outs_t, gts_np)
+    )
+    loss_t.backward()
+
+    ofe_sd, acc_sd = split_accflow_state(model.state_dict())
+    _, acc_grad_sd = split_accflow_state(
+        _torch_grad_state(model, allow_missing=True)
+    )
+    rcfg = RAFTConfig(compute_dtype="float32", iters=12)
+    ofe_params = convert_state_dict(init_raft(jax.random.PRNGKey(0), rcfg), ofe_sd)
+    acfg = AccFlowConfig(compute_dtype="float32")
+    acc_template = init_accflow(jax.random.PRNGKey(1), acfg)
+    acc_params = convert_state_dict(acc_template, acc_sd)
+    ref_grads = convert_state_dict(acc_template, acc_grad_sd)
+
+    frames = jnp.asarray(np.moveaxis(frames_np, 2, -1))
+    gts_j = jnp.asarray(np.moveaxis(gts_np, 2, -1))
+    ofe_fn = lambda a, b: raft_forward(ofe_params, a, b, rcfg, final_only=True)["flow_up"]
+
+    def loss_fn(acc_params):
+        outs = accflow_forward(acc_params, ofe_fn, frames, acfg)
+        return (((outs - gts_j) ** 2).mean(axis=(1, 2, 3, 4))).sum()
+
+    loss_j, grads = jax.value_and_grad(loss_fn)(acc_params)
+    np.testing.assert_allclose(float(loss_j), float(loss_t.detach()), rtol=1e-3)
+    _assert_tree_allclose(grads, ref_grads, rtol=5e-3, atol_frac=5e-3)
+
+
 def test_fused_equals_stepwise_and_final_only():
     """The fused-OFE accumulation path and final_only estimator mode are
     pure restructurings — outputs must match their reference-shaped
