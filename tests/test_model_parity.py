@@ -295,6 +295,53 @@ def test_raft_grad_parity(image_pair):
     _assert_tree_allclose(grads, ref_grads, rtol=2e-3, atol_frac=2e-3)
 
 
+def test_gma_grad_parity(image_pair):
+    """GMA fine-tune backward parity: adds the attention map, aggregate
+    (+gamma residual) and GMA update block to the surfaces pinned by
+    test_raft_grad_parity. Same squared-error-on-final-prediction loss."""
+    import argparse
+    from networks.gma.gma import RAFTGMA
+
+    from accflow_tpu.convert.torch_weights import convert_state_dict
+    from accflow_tpu.models.gma import GMAConfig, init_gma, gma_forward
+
+    torch.manual_seed(5)
+    model = RAFTGMA(
+        argparse.Namespace(
+            num_heads=1,
+            mixed_precision=False,
+            position_only=False,
+            position_and_content=False,
+        )
+    ).train()
+    i1, i2 = image_pair
+    gt_t = torch.from_numpy(
+        (3.0 * np.random.default_rng(17).standard_normal((1, 2, 128, 128)))
+        .astype(np.float32)
+    )
+    flow_up = model(i1, i2, iters=4)
+    loss_t = ((flow_up - gt_t) ** 2).mean()
+    loss_t.backward()
+
+    cfg = GMAConfig(compute_dtype="float32", iters=4)
+    template = init_gma(jax.random.PRNGKey(0), cfg)
+    params = convert_state_dict(template, model.state_dict())
+    # allow_missing: the content-only branch registers but never touches
+    # the RelPosEmb tables — zero grads on both sides.
+    ref_grads = convert_state_dict(
+        template, _torch_grad_state(model, allow_missing=True)
+    )
+    i1j, i2j, gt_j = nhwc(i1), nhwc(i2), nhwc(gt_t)
+
+    def loss_fn(params):
+        out = gma_forward(params, i1j, i2j, cfg, train=True)
+        return ((out["flow_up"] - gt_j) ** 2).mean()
+
+    loss_j, grads = jax.value_and_grad(loss_fn)(params)
+    np.testing.assert_allclose(float(loss_j), float(loss_t.detach()), rtol=1e-4)
+    _assert_tree_allclose(grads, ref_grads, rtol=2e-3, atol_frac=2e-3)
+
+
 def test_accflow_grad_parity():
     """Backward-path parity for the accumulator training step: a per-step
     squared-error sequence loss on the accumulated outputs (the smooth
