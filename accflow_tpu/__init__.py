@@ -18,3 +18,11 @@ reference's autocast boundaries, and data-parallel SPMD over a
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):  # lazy: keep `import accflow_tpu` dependency-free
+    if name in ("FlowPipeline", "ArtifactPipeline"):
+        from accflow_tpu import api
+
+        return getattr(api, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

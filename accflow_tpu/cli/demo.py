@@ -119,19 +119,13 @@ def save_flow(out_dir, name, flow, viz: bool):
 
 
 def run_artifact(args):
-    """Long-range inference through a serialized serving artifact.
+    """Long-range inference through a serialized serving artifact
+    (api.ArtifactPipeline: exactly T frames are consumed — extras are
+    reported and dropped — and the frame size must match the export)."""
+    from accflow_tpu.api import ArtifactPipeline
 
-    The artifact's input spec (T, N, H, W, 3) is fixed at export time:
-    exactly T frames are consumed (extras are reported and dropped), the
-    frame size must match H x W after /8 padding, and a batch dim of N
-    is filled by replication (output batch slot 0 is written)."""
-    import numpy as np
-
-    from accflow_tpu.serving import load_exported
-
-    exported = load_exported(args.artifact)
-    (spec,) = exported.in_avals
-    t, n, h, w, _ = spec.shape
+    pipe = ArtifactPipeline(args.artifact)
+    t = pipe.clip_shape[0]
 
     files = collect_frames(args.frames)
     if len(files) < t:
@@ -144,25 +138,15 @@ def run_artifact(args):
         files = files[:t]
     frames = load_frames(files)
 
-    from accflow_tpu.ops.padding import InputPadder
-
-    padder = InputPadder(frames.shape, mode="sintel")
-    padded = np.stack([np.asarray(padder.pad(f)[0]) for f in frames], axis=0)
-    if padded.shape[2:4] != (h, w):
-        raise SystemExit(
-            f"artifact was exported for {h}x{w} frames; these are "
-            f"{padded.shape[2]}x{padded.shape[3]} after /8 padding — "
-            "re-export with --size to match"
-        )
-    clip = np.broadcast_to(padded, (t, n, h, w, 3)).astype(np.float32)
-
-    outs = exported.call(clip)
+    try:
+        outs = pipe.long_range(frames, normalized=True)
+    except ValueError as e:
+        raise SystemExit(str(e))
 
     os.makedirs(args.out, exist_ok=True)
     stem = lambda i: osp.splitext(osp.basename(files[i]))[0]
     for i in range(t - 2):
-        flow = np.asarray(padder.unpad(outs[i]))[0]
-        save_flow(args.out, f"{stem(i + 2)}_to_{stem(0)}", flow,
+        save_flow(args.out, f"{stem(i + 2)}_to_{stem(0)}", outs[i, 0],
                   viz=not args.no_viz)
     print(f"[demo] wrote {t - 2} accumulated flows to {args.out} "
           f"(artifact {args.artifact})")
@@ -233,44 +217,18 @@ def main(argv=None):
     print(f"[demo] {t} frames {frames.shape[2]}x{frames.shape[3]} "
           f"from {args.frames}")
 
-    import jax
-    import numpy as np
+    from accflow_tpu.api import FlowPipeline
 
-    from accflow_tpu.models import build_flow_estimator
-    from accflow_tpu.ops.padding import InputPadder
-
-    est = build_flow_estimator(
-        args.ofe, compute_dtype=args.compute_dtype,
+    if args.mode == "long" and not args.acc_ckpt:
+        print("[demo] WARNING: no --acc_ckpt; using random weights")
+    if args.mode == "pairs" and not args.ofe_ckpt:
+        print("[demo] WARNING: no --ofe_ckpt; using random weights")
+    pipe = FlowPipeline.from_checkpoint(
+        f"acc+{args.ofe}" if args.mode == "long" else args.ofe,
+        ofe_ckpt=args.ofe_ckpt, acc_ckpt=args.acc_ckpt,
+        compute_dtype=args.compute_dtype, iters=args.iters,
         corr_lookup=args.corr_lookup, attn_chunk=args.attn_chunk,
     )
-    template = est.init(jax.random.PRNGKey(0))
-    acc_params = None
-    if args.mode == "long":
-        from accflow_tpu.models.accflow import AccFlowConfig, init_accflow
-
-        acfg = AccFlowConfig(
-            compute_dtype=args.compute_dtype, ofe_iters=args.iters
-        )
-        acc_template = init_accflow(jax.random.PRNGKey(1), acfg)
-        if args.acc_ckpt:
-            from accflow_tpu.convert.torch_weights import load_accflow_checkpoint
-
-            acc_params, params = load_accflow_checkpoint(
-                args.acc_ckpt, acc_template, template
-            )
-        else:
-            print("[demo] WARNING: no --acc_ckpt; using random weights")
-            acc_params, params = acc_template, template
-    elif args.ofe_ckpt:
-        from accflow_tpu.convert.torch_weights import load_flow_estimator_checkpoint
-
-        params = load_flow_estimator_checkpoint(args.ofe_ckpt, template)
-    else:
-        print("[demo] WARNING: no --ofe_ckpt; using random weights")
-        params = template
-
-    padder = InputPadder(frames.shape, mode="sintel")
-    padded = np.stack([np.asarray(padder.pad(f)[0]) for f in frames], axis=0)
 
     os.makedirs(args.out, exist_ok=True)
     stem = lambda i: osp.splitext(osp.basename(files[i]))[0]
@@ -279,31 +237,16 @@ def main(argv=None):
         if t < 3:
             raise SystemExit("long mode needs >= 3 frames (got "
                              f"{t}; accumulation starts at F_{{2->0}})")
-        from accflow_tpu.models.accflow import accflow_forward
-
-        ofe_fn = lambda a, b, flow_init=None: est.forward(
-            params, a, b, iters=args.iters, flow_init=flow_init,
-            final_only=True,
-        )["flow_up"]
-        outs = accflow_forward(
-            acc_params, ofe_fn, padded, acfg,
-            ofe_pairs=est.pairs_fn(params, iters=args.iters),
-        )
+        outs = pipe.long_range(frames, normalized=True)
         for i in range(outs.shape[0]):
-            flow = np.asarray(padder.unpad(outs[i]))[0]
-            save_flow(args.out, f"{stem(i + 2)}_to_{stem(0)}", flow,
+            save_flow(args.out, f"{stem(i + 2)}_to_{stem(0)}", outs[i, 0],
                       viz=not args.no_viz)
         print(f"[demo] wrote {outs.shape[0]} accumulated flows to {args.out}")
     else:
-        from accflow_tpu.train.evaluate import evaluate_sequence
-
-        flows = evaluate_sequence(
-            est, params, padded, iters=args.iters,
-            warm_start=args.warm_start,
-        )
+        flows = pipe.pairs(frames, warm_start=args.warm_start,
+                           normalized=True)
         for i in range(flows.shape[0]):
-            flow = np.asarray(padder.unpad(flows[i]))[0]
-            save_flow(args.out, f"{stem(i)}_to_{stem(i + 1)}", flow,
+            save_flow(args.out, f"{stem(i)}_to_{stem(i + 1)}", flows[i, 0],
                       viz=not args.no_viz)
         print(f"[demo] wrote {flows.shape[0]} pair flows to {args.out}")
 
