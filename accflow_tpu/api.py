@@ -248,8 +248,10 @@ class FlowPipeline:
 class ArtifactPipeline:
     """long_range() inference through a serialized StableHLO artifact
     (see serving.py). The artifact's (T, N, H, W, 3) input spec is fixed:
-    exactly T frames are consumed, the padded frame size must match, and
-    smaller batches are filled by replication."""
+    exactly T frames are consumed and the padded frame size must match.
+    A fixed batch N is filled by replication for smaller inputs; a
+    batch-polymorphic artifact (exported with N=None / --batch 0) takes
+    any batch as-is."""
 
     def __init__(self, path: str):
         from accflow_tpu.serving import load_exported
@@ -257,7 +259,7 @@ class ArtifactPipeline:
         self.path = path
         self.exported = load_exported(path)
         (spec,) = self.exported.in_avals
-        self.clip_shape = tuple(spec.shape)  # (T, N, H, W, 3)
+        self.clip_shape = tuple(spec.shape)  # (T, N, H, W, 3); N may be symbolic
 
     def long_range(self, frames, normalized: bool = False):
         """frames: list / (T, H, W, 3) / (T, N, H, W, 3) as in
@@ -265,15 +267,16 @@ class ArtifactPipeline:
         from accflow_tpu.ops.padding import InputPadder
 
         t, n, h, w, _ = self.clip_shape
+        poly_batch = not isinstance(n, int)  # symbolic dim: any batch works
         clip, batched = _as_frames(frames, normalized, "many")
         if clip.shape[0] != t:
             raise ValueError(
                 f"artifact expects a {t}-frame clip, got {clip.shape[0]}"
             )
-        if clip.shape[1] > n:
+        if not poly_batch and clip.shape[1] > n:
             raise ValueError(
                 f"artifact batch is {n}, got {clip.shape[1]} — re-export "
-                "with a larger batch"
+                "with a larger batch (or --batch 0 for polymorphic)"
             )
         padder = InputPadder(clip.shape)
         padded = np.stack([np.asarray(padder.pad(f)[0]) for f in clip], axis=0)
@@ -284,7 +287,8 @@ class ArtifactPipeline:
                 "re-export with --size to match"
             )
         nb = clip.shape[1]
-        if nb < n:  # fill the fixed batch by replicating the last sample
+        if not poly_batch and nb < n:
+            # fill the fixed batch by replicating the last sample
             padded = np.concatenate(
                 [padded, np.repeat(padded[:, -1:], n - nb, axis=1)], axis=1
             )

@@ -21,7 +21,9 @@ def main(argv=None):
     parser.add_argument("--acc_ckpt", type=str, default=None,
                         help="acc+{ofe}-*.pth checkpoint (OFE included)")
     parser.add_argument("--frames", type=int, default=7)
-    parser.add_argument("--batch", type=int, default=2)
+    parser.add_argument("--batch", type=int, default=2,
+                        help="0 exports a batch-polymorphic artifact "
+                        "(symbolic batch dim — serves any batch >= 1)")
     parser.add_argument("--size", type=int, default=512)
     parser.add_argument("--iters", type=int, default=12)
     parser.add_argument("--compute-dtype", type=str, default="bfloat16")
@@ -66,7 +68,7 @@ def main(argv=None):
     platforms = args.platforms.split(",") if args.platforms else None
     exported = export_serving(
         est, acfg, ofe_params, acc_params,
-        (args.frames, args.batch, args.size, args.size, 3),
+        (args.frames, args.batch or None, args.size, args.size, 3),
         platforms=platforms,
     )
     save_artifact(exported, args.out)

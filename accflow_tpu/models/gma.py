@@ -200,6 +200,12 @@ def resolve_auto_attn_chunk(attn_chunk: int, batch: int, heads: int,
         return attn_chunk
     if positional:
         return 0
+    if not isinstance(batch, int):  # symbolic dim (shape-polymorphic export)
+        raise ValueError(
+            "attn_chunk=-1 (auto) needs a concrete batch to size the "
+            f"attention matrix, got symbolic {batch!r} — pick an explicit "
+            "value (0 dense / >0 chunked) for shape-polymorphic exports"
+        )
     hw = h8 * w8
     elem = 4 + jnp.dtype(compute_dtype).itemsize
     attn_bytes = batch * heads * hw * hw * elem

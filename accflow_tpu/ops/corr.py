@@ -142,6 +142,12 @@ def resolve_auto_lookup(lookup_impl: str, batch: int, h8: int, w8: int,
     through unchanged."""
     if lookup_impl != "auto":
         return lookup_impl
+    if not isinstance(batch, int):  # symbolic dim (shape-polymorphic export)
+        raise ValueError(
+            "corr_lookup='auto' needs a concrete batch to size the stored "
+            f"volume, got symbolic {batch!r} — pick an explicit impl "
+            "('fused', 'ondemand', ...) for shape-polymorphic exports"
+        )
     vol_bytes = stored_volume_bytes(batch, h8, w8, num_levels, dtype)
     return default if vol_bytes <= AUTO_VOLUME_BYTES else "ondemand"
 

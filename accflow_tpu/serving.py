@@ -15,8 +15,11 @@ serving fleet:
     fn = load_artifact(path)       # jax.export.Exported.call
     flows = fn(images)             # (T, N, H, W, 3) -> (T-2, N, H, W, 2)
 
-The export is shape-specialized (fixed clip/batch/resolution — the
-serving contract); export one artifact per deployed shape.
+The export is shape-specialized on clip length and resolution (the
+accumulation scan and corr shapes specialize on them); the batch dim can
+either be fixed or left symbolic (clip_shape batch None / CLI --batch 0),
+in which case one artifact serves any batch >= 1 via jax shape
+polymorphism.
 """
 
 from __future__ import annotations
@@ -48,9 +51,20 @@ def export_serving(
     est, acfg: AccFlowConfig, ofe_params, acc_params, clip_shape,
     platforms=None,
 ):
-    """jax.export.Exported for a fixed clip_shape = (T, N, H, W, 3)."""
+    """jax.export.Exported for clip_shape = (T, N, H, W, 3).
+
+    N=None exports a batch-POLYMORPHIC artifact (jax shape polymorphism):
+    the StableHLO is lowered once with a symbolic batch dim and serves any
+    batch >= 1 without padding/replication. Clip length and resolution
+    stay fixed (the accumulation scan and corr shapes specialize on them).
+    Auto memory modes need concrete shapes — build the estimator with an
+    explicit corr_lookup / attn_chunk when exporting polymorphically."""
     serve = jax.jit(build_serving_fn(est, acfg, ofe_params, acc_params))
-    spec = jax.ShapeDtypeStruct(tuple(clip_shape), jnp.float32)
+    shape = tuple(clip_shape)
+    if shape[1] is None:
+        (b,) = jax.export.symbolic_shape("b")
+        shape = (shape[0], b) + shape[2:]
+    spec = jax.ShapeDtypeStruct(shape, jnp.float32)
     kwargs = {"platforms": tuple(platforms)} if platforms else {}
     return jax.export.export(serve, **kwargs)(spec)
 

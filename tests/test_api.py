@@ -151,6 +151,30 @@ def test_artifact_pipeline_matches_flow_pipeline(pipe, frames_u8, tmp_path):
         apipe.long_range(np.repeat(frames_u8, 2, axis=0))
     with pytest.raises(ValueError, match="re-export"):
         apipe.long_range(np.zeros((3, 64, 64, 3), np.uint8))
+    with pytest.raises(ValueError, match="batch"):
+        apipe.long_range(np.repeat(_norm(frames_u8)[:, None], 2, axis=1),
+                         normalized=True)
+
+    # batch-polymorphic artifact (batch=None): any batch without re-export.
+    # The auto memory mode cannot size its budget on a symbolic batch, so
+    # polymorphic exports need an explicit corr_lookup.
+    from accflow_tpu.models import build_flow_estimator
+
+    with pytest.raises(ValueError, match="symbolic"):
+        export_serving(pipe.est, pipe.acfg, pipe.params, pipe.acc_params,
+                       (3, None, 40, 48, 3))
+    est_f = build_flow_estimator("raft", compute_dtype="float32", iters=2,
+                                 corr_lookup="fused")
+    poly = export_serving(
+        est_f, pipe.acfg, pipe.params, pipe.acc_params, (3, None, 40, 48, 3)
+    )
+    ppath = str(tmp_path / "poly.sflow")
+    save_artifact(poly, ppath)
+    ppipe = FlowPipeline.from_artifact(ppath)
+    clip2 = np.repeat(_norm(frames_u8)[:, None], 2, axis=1)
+    outs2 = ppipe.long_range(clip2, normalized=True)
+    assert outs2.shape == (1, 2, H, W, 2)
+    np.testing.assert_allclose(outs2[:, 0], outs, rtol=1e-4, atol=1e-4)
 
 
 def test_api_errors(pipe, frames_u8):

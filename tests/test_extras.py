@@ -301,3 +301,57 @@ def test_serving_export_roundtrip(tmp_path, rng):
     save_artifact(exported_od, path_od)
     out_od = np.asarray(load_artifact(path_od)(images))
     np.testing.assert_allclose(out_od, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_serving_export_polymorphic_batch(tmp_path, rng):
+    """batch=None exports ONE artifact with a symbolic batch dim (jax
+    shape polymorphism) that serves any batch >= 1, matching per-batch
+    fixed exports; corr_lookup='auto' / attn_chunk=-1 cannot size their
+    budgets on a symbolic batch and refuse with a clear error."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from accflow_tpu.models import build_flow_estimator
+    from accflow_tpu.models.accflow import AccFlowConfig, init_accflow
+    from accflow_tpu.serving import (
+        build_serving_fn,
+        export_serving,
+        load_artifact,
+        save_artifact,
+    )
+
+    est = build_flow_estimator("raft", compute_dtype="float32", iters=2)
+    acfg = AccFlowConfig(compute_dtype="float32")
+    ofe_params = est.init(jax.random.PRNGKey(0))
+    acc_params = init_accflow(jax.random.PRNGKey(1), acfg)
+
+    exported = export_serving(
+        est, acfg, ofe_params, acc_params, (3, None, 32, 32, 3)
+    )
+    path = str(tmp_path / "acc_raft_poly.sflow")
+    save_artifact(exported, path)
+    fn = load_artifact(path)
+
+    serve = jax.jit(build_serving_fn(est, acfg, ofe_params, acc_params))
+    for n in (1, 3):
+        images = jnp.asarray(
+            rng.uniform(-1, 1, (3, n, 32, 32, 3)).astype(np.float32)
+        )
+        out = np.asarray(fn(images))
+        assert out.shape == (1, n, 32, 32, 2)
+        np.testing.assert_allclose(
+            out, np.asarray(serve(images)), rtol=1e-5, atol=1e-5
+        )
+
+    est_auto = build_flow_estimator("raft", compute_dtype="float32",
+                                    iters=2, corr_lookup="auto")
+    with pytest.raises(ValueError, match="symbolic"):
+        export_serving(est_auto, acfg, ofe_params, acc_params,
+                       (3, None, 32, 32, 3))
+    est_gauto = build_flow_estimator("gma", compute_dtype="float32",
+                                     iters=2, attn_chunk=-1)
+    with pytest.raises(ValueError, match="symbolic"):
+        export_serving(est_gauto, acfg, ofe_params,
+                       init_accflow(jax.random.PRNGKey(1), acfg),
+                       (3, None, 32, 32, 3))
