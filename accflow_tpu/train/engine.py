@@ -40,6 +40,7 @@ from accflow_tpu.parallel.mesh import (
     shard_params,
 )
 from accflow_tpu.train.checkpoint import CheckpointManager
+from accflow_tpu.train.accum import microbatched_value_and_grad
 from accflow_tpu.train.loss import sequence_loss_acc
 from accflow_tpu.train.optim import make_optimizer
 from accflow_tpu.utils.logging import Timer, get_timestamp, setup_logger
@@ -101,7 +102,8 @@ def build_acc_model(opt):
     return est, acfg
 
 
-def make_acc_train_step(est, acfg: AccFlowConfig, tx, add_noise: bool):
+def make_acc_train_step(est, acfg: AccFlowConfig, tx, add_noise: bool,
+                        grad_accum: int = 1):
     def ofe_fn(ofe_params):
         def fn(i1, i2):
             return est.forward(ofe_params, i1, i2, final_only=True)["flow_up"]
@@ -117,16 +119,19 @@ def make_acc_train_step(est, acfg: AccFlowConfig, tx, add_noise: bool):
         if add_noise:
             images = images + reference_noise(key, images.shape[1:])[None]
 
-        def loss_fn(params):
+        def loss_fn(params, images, labels):
             outs = accflow_forward(
                 params, ofe_fn(ofe_params), images, acfg,
                 ofe_pairs=est.pairs_fn(ofe_params),
             )
             return sequence_loss_acc(outs, labels)
 
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params
-        )
+        # grad_accum > 1: k sequential micro-batches (batch axis 1 of the
+        # (T, N, ...) clip), averaged grads — exact for this batch-mean
+        # loss (train/accum.py).
+        (loss, metrics), grads = microbatched_value_and_grad(
+            loss_fn, grad_accum, axis=1
+        )(state.params, images, labels)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(params, opt_state, state.step + 1)
@@ -254,7 +259,10 @@ def train_acc(opt, max_steps: int | None = None, tb=None):
         k: jax.device_put(v, batch_sharding(mesh, v.ndim)) for k, v in b.items()
     }
 
-    train_step, valid_step = make_acc_train_step(est, acfg, tx, opt.add_noise)
+    train_step, valid_step = make_acc_train_step(
+        est, acfg, tx, opt.add_noise,
+        grad_accum=int(opt.get("grad_accum", 1)),
+    )
     ckpt = CheckpointManager(ckpt_dir, keep=4)
 
     current_step = 0

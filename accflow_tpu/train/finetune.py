@@ -33,6 +33,7 @@ from accflow_tpu.data.cvo import BatchIterator, fetch_train_dataset, fetch_valid
 from accflow_tpu.data.prefetch import device_prefetch
 from accflow_tpu.models import build_flow_estimator
 from accflow_tpu.nn.layers import apply_bn_updates, bn_buffer_mask, collect_bn_updates
+from accflow_tpu.train.accum import microbatched_value_and_grad
 from accflow_tpu.parallel.mesh import (
     batch_sharding,
     make_mesh,
@@ -70,7 +71,8 @@ def select_pair(batch, rng: np.random.Generator):
     return frame(interval), frame(0), flow("bflows", interval - 2)
 
 
-def make_finetune_step(est, tx, add_noise: bool, gamma: float):
+def make_finetune_step(est, tx, add_noise: bool, gamma: float,
+                       grad_accum: int = 1):
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, img1, img2, label, key):
         i1 = 2.0 * (img1.astype(jnp.float32) / 255.0) - 1.0
@@ -79,7 +81,7 @@ def make_finetune_step(est, tx, add_noise: bool, gamma: float):
             noise = reference_noise(key, i1.shape)
             i1, i2 = i1 + noise, i2 + noise
 
-        def loss_fn(params):
+        def loss_fn(params, i1, i2, label):
             # train=True: batch-stat BatchNorm, matching the reference's
             # model.train() fine-tuning (fine_tune.py:163). The cnet's
             # running-stat updates come out as a (non-differentiated) aux.
@@ -87,9 +89,13 @@ def make_finetune_step(est, tx, add_noise: bool, gamma: float):
             loss, metrics = sequence_loss_raft(out["predictions"], label, gamma)
             return loss, (metrics, collect_bn_updates(params))
 
-        (loss, (metrics, bn_updates)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params)
+        # grad_accum > 1: averaged grads over k sequential micro-batches
+        # (train/accum.py). BatchNorm normalizes per micro-batch — the
+        # reference DataParallel's per-GPU-slice BN semantics — and the
+        # averaged running-stat updates are EMA'd once per step.
+        (loss, (metrics, bn_updates)), grads = microbatched_value_and_grad(
+            loss_fn, grad_accum, axis=0
+        )(state.params, i1, i2, label)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         params = apply_bn_updates(params, bn_updates)
@@ -203,7 +209,10 @@ def fine_tune(opt, max_steps: int | None = None, tb=None):
         k: jax.device_put(v, batch_sharding(mesh, v.ndim)) for k, v in b.items()
     }
 
-    train_step, valid_step = make_finetune_step(est, tx, opt.add_noise, gamma)
+    train_step, valid_step = make_finetune_step(
+        est, tx, opt.add_noise, gamma,
+        grad_accum=int(opt.get("grad_accum", 1)),
+    )
     ckpt = CheckpointManager(ckpt_dir, keep=4)
     current_step = 0
     if opt.get("resume") is not None:

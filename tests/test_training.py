@@ -423,3 +423,110 @@ def test_train_acc_forward_direction(tmp_path):
     assert int(state.step) == 2
     leaves = jax.tree.leaves(state.params)
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
+def test_microbatched_value_and_grad_toy():
+    """Helper exactness on a toy batch-mean loss: k micro-batches give the
+    full-batch loss/aux/grads (train/accum.py), and non-dividing k is a
+    clear error."""
+    from accflow_tpu.train.accum import microbatched_value_and_grad
+
+    def loss_fn(params, x, y):
+        pred = x @ params["w"]
+        loss = jnp.mean((pred - y) ** 2)
+        return loss, {"mae": jnp.mean(jnp.abs(pred - y))}
+
+    rng = np.random.default_rng(0)
+    params = {"w": jnp.asarray(rng.normal(size=(5, 3)).astype(np.float32))}
+    x = jnp.asarray(rng.normal(size=(8, 5)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(8, 3)).astype(np.float32))
+
+    (l0, a0), g0 = microbatched_value_and_grad(loss_fn, 1)(params, x, y)
+    for k in (2, 4, 8):
+        (lk, ak), gk = jax.jit(microbatched_value_and_grad(loss_fn, k))(
+            params, x, y
+        )
+        np.testing.assert_allclose(float(lk), float(l0), rtol=1e-6)
+        np.testing.assert_allclose(float(ak["mae"]), float(a0["mae"]), rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(gk["w"]), np.asarray(g0["w"]), rtol=1e-5, atol=1e-6
+        )
+    with pytest.raises(ValueError, match="grad_accum=3"):
+        jax.jit(microbatched_value_and_grad(loss_fn, 3))(params, x, y)
+
+
+@pytest.mark.slow
+def test_acc_train_step_grad_accum_matches_full(cpu_devices):
+    """One accumulator train step with grad_accum=2 == the full-batch step:
+    same loss/metrics and same updated params (the loss is a batch mean and
+    the OFE is frozen, so micro-batching is exact up to summation order)."""
+    from accflow_tpu.models import build_flow_estimator
+    from accflow_tpu.models.accflow import AccFlowConfig, init_accflow
+    from accflow_tpu.train.engine import TrainState, make_acc_train_step
+    from accflow_tpu.train.optim import make_optimizer
+
+    est = build_flow_estimator("raft", compute_dtype="float32", iters=2)
+    acfg = AccFlowConfig(compute_dtype="float32")
+    ofe_params = est.init(jax.random.PRNGKey(0))
+    acc_params = init_accflow(jax.random.PRNGKey(1), acfg)
+    tx, _ = make_optimizer(lr=1e-4, num_steps=10, wdecay=1e-5, clip=1.0)
+
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.uniform(0, 255, (4, 48, 48, 21)).astype(np.float32))
+    bflows = jnp.asarray(rng.uniform(-5, 5, (4, 48, 48, 10)).astype(np.float32))
+    key = jax.random.PRNGKey(7)
+
+    def run(grad_accum):
+        step, _ = make_acc_train_step(est, acfg, tx, add_noise=True,
+                                      grad_accum=grad_accum)
+        state = TrainState(
+            jax.tree.map(jnp.copy, acc_params), tx.init(acc_params),
+            jnp.int32(0),
+        )
+        return step(state, ofe_params, imgs, bflows, key)
+
+    s1, l1, m1 = run(1)
+    s2, l2, m2 = run(2)
+    np.testing.assert_allclose(float(l2), float(l1), rtol=1e-5)
+    np.testing.assert_allclose(float(m2["epe"]), float(m1["epe"]), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-4, atol=1e-6
+        )
+
+
+@pytest.mark.slow
+def test_finetune_grad_accum_runs(tmp_path):
+    """fine_tune with grad_accum=2 runs end-to-end (BN normalizes per
+    micro-batch — reference DataParallel's per-GPU-slice semantics — so
+    this is a behavioral smoke, not an exactness check)."""
+    from accflow_tpu.data.synthetic import write_synthetic_cvor
+    from accflow_tpu.train.finetune import fine_tune
+    from accflow_tpu.utils.config import AttrDict
+
+    root = str(tmp_path / "cvor")
+    write_synthetic_cvor(root, num_train=8, num_test=2, h=64, w=64)
+    opt = AttrDict(
+        exp_name="RAFT-debug",
+        epochs=1,
+        lr=1e-4,
+        wdecay=1e-5,
+        epsilon=1e-8,
+        compute_dtype="float32",
+        batch_per_gpu=1,
+        clip=1.0,
+        add_noise=False,
+        log_freq=1,
+        valid_freq=4,
+        image_size=64,
+        dataset_root=root,
+        log_dir=str(tmp_path / "logs"),
+        ckpt_dir=str(tmp_path / "ckpt"),
+        visual_samples=[0],
+        grad_accum=2,
+    )
+    state = fine_tune(opt, max_steps=2)
+    assert int(state.step) == 2
+    assert all(
+        np.isfinite(np.asarray(l)).all() for l in jax.tree.leaves(state.params)
+    )
