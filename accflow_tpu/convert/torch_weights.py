@@ -150,7 +150,22 @@ def convert_state_dict(template: Params, state_dict: Mapping[str, Any]) -> Param
 
 
 def load_torch_file(path: str) -> Dict[str, np.ndarray]:
-    """Load a .pth state_dict as numpy (torch required only here)."""
+    """Load a .pth state_dict as numpy.
+
+    torch-zip checkpoints (torch>=1.6 — all released AccFlow files) are
+    read TORCH-FREE via convert.pth_reader (whitelisted unpickler); only
+    the legacy pre-1.6 stream format falls back to torch.load, so torch
+    is not required to convert or serve from the released zoo."""
+    import zipfile
+
+    if zipfile.is_zipfile(path):
+        from accflow_tpu.convert.pth_reader import read_pth_state_dict
+
+        sd = read_pth_state_dict(path)
+        if isinstance(sd, dict) and "state_dict" in sd:
+            sd = sd["state_dict"]
+        return {k: np.asarray(v) for k, v in sd.items()}
+
     import torch
 
     sd = torch.load(path, map_location="cpu", weights_only=True)
