@@ -77,8 +77,25 @@ def _as_frames(images, normalized: bool, expect: str) -> tuple[np.ndarray, bool]
             raise ValueError(f"expected (T[, N], H, W, 3) frames, got {a.shape}")
 
     a = a.astype(np.float32)
-    if not normalized:
+    if not normalized and a.size:
+        # Guard the classic footguns: float frames in [0, 1]
+        # (matplotlib/skimage convention) or already in [-1, 1] would be
+        # silently crushed to ~-1 by the [0, 255] preprocess.
+        amin, amax = float(a.min()), float(a.max())
+        if amin < 0.0:
+            raise ValueError(
+                f"float frames span [{amin:.3g}, {amax:.3g}] — they look "
+                "already normalized; pass normalized=True"
+            )
+        if amax <= 1.0 and np.issubdtype(np.asarray(images).dtype, np.floating):
+            raise ValueError(
+                f"float frames span [{amin:.3g}, {amax:.3g}] — they look "
+                "[0, 1]-scaled; scale to [0, 255] or pass normalized=True "
+                "for [-1, 1] input"
+            )
         a = 2.0 * (a / 255.0) - 1.0  # test_cvo.py:32-50 preprocess
+    elif not normalized:
+        a = 2.0 * (a / 255.0) - 1.0
     return a, batched
 
 
@@ -135,6 +152,11 @@ class FlowPipeline:
 
         acfg = acc_params = None
         if want_acc:
+            if acc_ckpt and ofe_ckpt:
+                raise ValueError(
+                    "pass acc_ckpt OR ofe_ckpt, not both — the acc+* "
+                    "checkpoints already contain the OFE weights"
+                )
             acfg = AccFlowConfig(compute_dtype=compute_dtype, ofe_iters=iters)
             acc_template = init_accflow(jax.random.PRNGKey(1), acfg)
             if acc_ckpt:
@@ -143,6 +165,15 @@ class FlowPipeline:
                 acc_params, params = load_accflow_checkpoint(
                     acc_ckpt, acc_template, template
                 )
+            elif ofe_ckpt:
+                # real OFE under a random-init accumulator (pair_flow/pairs
+                # work; long_range is smoke-quality until trained)
+                from accflow_tpu.convert.torch_weights import (
+                    load_flow_estimator_checkpoint,
+                )
+
+                acc_params = acc_template
+                params = load_flow_estimator_checkpoint(ofe_ckpt, template)
             else:
                 acc_params, params = acc_template, template
         elif ofe_ckpt:
@@ -176,7 +207,7 @@ class FlowPipeline:
         if i1.shape != i2.shape or batched != batched2:
             raise ValueError(f"pair shapes disagree: {i1.shape} vs {i2.shape}")
         padder = InputPadder(i1.shape)
-        p1, p2 = padder.pad(i1, i2)
+        p1, p2 = padder.pad_np(i1), padder.pad_np(i2)
         out = self.est.forward(
             self.params, p1, p2, iters=self.iters, final_only=True
         )
@@ -199,7 +230,7 @@ class FlowPipeline:
         if clip.shape[0] < 2:
             raise ValueError(f"pairs() needs >= 2 frames, got {clip.shape[0]}")
         padder = InputPadder(clip.shape)
-        padded = np.stack([np.asarray(padder.pad(f)[0]) for f in clip], axis=0)
+        padded = padder.pad_np(clip)  # one host-side np.pad, no device round trips
         flows = evaluate_sequence(
             self.est, self.params, padded, iters=self.iters,
             warm_start=warm_start,
@@ -230,7 +261,7 @@ class FlowPipeline:
                 "accumulation starts at F_{2->0})"
             )
         padder = InputPadder(clip.shape)
-        padded = np.stack([np.asarray(padder.pad(f)[0]) for f in clip], axis=0)
+        padded = padder.pad_np(clip)  # one host-side np.pad, no device round trips
         outs = accflow_forward(
             self.acc_params,
             lambda a, b, flow_init=None: self.est.forward(
@@ -279,7 +310,7 @@ class ArtifactPipeline:
                 "with a larger batch (or --batch 0 for polymorphic)"
             )
         padder = InputPadder(clip.shape)
-        padded = np.stack([np.asarray(padder.pad(f)[0]) for f in clip], axis=0)
+        padded = padder.pad_np(clip)  # one host-side np.pad, no device round trips
         if padded.shape[2:4] != (h, w):
             raise ValueError(
                 f"artifact was exported for {h}x{w} frames; these are "

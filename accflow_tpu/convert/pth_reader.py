@@ -49,11 +49,30 @@ def _np_dtype(storage_name: str):
 def _rebuild_tensor_v2(storage, offset, size, stride, *_unused):
     """numpy twin of torch._utils._rebuild_tensor_v2: view `storage`
     (a flat array) at element `offset` with `size`/`stride` in elements,
-    materialized contiguous."""
+    materialized contiguous. Bounds are validated BEFORE as_strided —
+    this reader handles untrusted files and as_strided itself would
+    happily read out-of-bounds process memory."""
+    size, stride = tuple(size), tuple(stride)
+    if len(size) != len(stride):
+        raise pickle.UnpicklingError(f"rank mismatch: {size} vs {stride}")
+    if offset < 0 or any(s < 0 for s in size) or any(s < 0 for s in stride):
+        raise pickle.UnpicklingError(
+            f"negative tensor geometry: offset={offset} size={size} "
+            f"stride={stride}"
+        )
+    numel = int(np.prod(size, dtype=np.int64)) if size else 1
+    if numel > 0:  # stride 0 (expand) is legal; max index ignores it
+        last = offset + sum((d - 1) * st for d, st in zip(size, stride))
+        if last >= storage.shape[0]:
+            raise pickle.UnpicklingError(
+                f"tensor geometry out of bounds: offset={offset} "
+                f"size={size} stride={stride} over a {storage.shape[0]}-"
+                "element storage"
+            )
     itemsize = storage.dtype.itemsize
     view = np.lib.stride_tricks.as_strided(
         storage[offset:],
-        shape=tuple(size),
+        shape=size,
         strides=tuple(s * itemsize for s in stride),
     )
     return np.array(view)  # own, contiguous copy

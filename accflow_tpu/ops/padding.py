@@ -31,6 +31,17 @@ class InputPadder:
             for x in inputs
         ]
 
+    def pad_np(self, x):
+        """Host-side twin of pad() for numpy arrays of any leading rank
+        (..., H, W, C): one np.pad, no per-frame device round trips."""
+        import numpy as np
+
+        left, right, top, bottom = self._pad
+        width = [(0, 0)] * (x.ndim - 3) + [
+            (top, bottom), (left, right), (0, 0)
+        ]
+        return np.pad(x, width, mode="edge")
+
     def unpad(self, x):
         left, right, top, bottom = self._pad
         h, w = x.shape[-3:-1]

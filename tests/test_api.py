@@ -192,3 +192,35 @@ def test_api_errors(pipe, frames_u8):
     ofe_only = FlowPipeline(pipe.est, pipe.params)
     with pytest.raises(ValueError, match="accumulator weights"):
         ofe_only.long_range(frames_u8)
+
+    # float-scale footguns are errors, not silently crushed inputs
+    with pytest.raises(ValueError, match=r"\[0, 1\]-scaled"):
+        pipe.pair_flow(np.random.default_rng(0).uniform(0, 1, (8, 8, 3)),
+                       np.zeros((8, 8, 3)) + 0.5)
+    with pytest.raises(ValueError, match="already normalized"):
+        pipe.pair_flow(_norm(frames_u8[0]), _norm(frames_u8[1]))
+
+
+def test_from_checkpoint_routing(monkeypatch):
+    """ofe_ckpt loads the estimator even when the acc branch is active
+    (random-init accumulator); acc_ckpt+ofe_ckpt together is an error."""
+    from accflow_tpu import FlowPipeline
+    import accflow_tpu.convert.torch_weights as tw
+
+    calls = {}
+
+    def fake_load_est(path, template):
+        calls["ofe"] = path
+        return template
+
+    monkeypatch.setattr(tw, "load_flow_estimator_checkpoint", fake_load_est)
+    pipe = FlowPipeline.from_checkpoint(
+        "acc+raft", ofe_ckpt="raft-things.pth",
+        compute_dtype="float32", iters=2,
+    )
+    assert calls["ofe"] == "raft-things.pth"
+    assert pipe.acc_params is not None  # random-init accumulator present
+
+    with pytest.raises(ValueError, match="not both"):
+        FlowPipeline.from_checkpoint("acc+raft", ofe_ckpt="a.pth",
+                                     acc_ckpt="b.pth")

@@ -34,6 +34,7 @@ def test_reader_matches_torch_load(tmp_path):
         "sliced": base[1:5:2, ::3],      # offset + strided view
         "shared_a": base,                # two tensors, one storage
         "shared_b": base[2:],
+        "expanded": torch.randn(1, 4, generator=g).expand(3, 4),  # stride 0
         "param": torch.nn.Parameter(torch.randn(3, generator=g)),
     }
     path = str(tmp_path / "mixed.pth")
@@ -76,6 +77,51 @@ def test_reader_blocks_arbitrary_classes(tmp_path):
         zf.writestr("archive/version", "3")
     with pytest.raises(pickle.UnpicklingError, match="blocked"):
         read_pth_state_dict(path)
+
+
+def test_reader_bounds_checks_geometry(tmp_path):
+    """A crafted pickle pointing a huge/negative tensor view at a tiny
+    storage must be rejected BEFORE as_strided reads out-of-bounds
+    process memory."""
+
+    class Sent:
+        pass
+
+    class Pickler(pickle.Pickler):
+        def persistent_id(self, obj):
+            if isinstance(obj, Sent):
+                # 2-element f32 storage, like torch's ('storage', type,
+                # key, location, numel) pid
+                return ("storage", torch.FloatStorage, "0", "cpu", 2)
+            return None
+
+    def write(path, args):
+        class EvilT:
+            def __reduce__(self):
+                return (torch._utils._rebuild_tensor_v2,
+                        (Sent(),) + args + (False, None))
+
+        buf = io.BytesIO()
+        Pickler(buf, protocol=2).dump({"t": EvilT()})
+        with zipfile.ZipFile(path, "w") as zf:
+            zf.writestr("archive/data.pkl", buf.getvalue())
+            zf.writestr("archive/data/0", b"\x00" * 8)  # 2 f32 elements
+            zf.writestr("archive/version", "3")
+
+    oob = str(tmp_path / "oob.pth")
+    write(oob, (0, (10**6,), (1,)))
+    with pytest.raises(pickle.UnpicklingError, match="out of bounds"):
+        read_pth_state_dict(oob)
+
+    neg = str(tmp_path / "neg.pth")
+    write(neg, (-1, (2,), (1,)))
+    with pytest.raises(pickle.UnpicklingError, match="negative"):
+        read_pth_state_dict(neg)
+
+    ok = str(tmp_path / "ok.pth")
+    write(ok, (1, (1,), (1,)))  # last valid element
+    np.testing.assert_array_equal(read_pth_state_dict(ok)["t"],
+                                  np.zeros(1, np.float32))
 
 
 def test_reader_rejects_legacy_format(tmp_path):
