@@ -35,6 +35,11 @@ def main(argv=None):
                         "(see GMAConfig.attn_chunk)")
     parser.add_argument("--scan_unroll", type=int, default=4,
                         help="GRU scan unroll baked into the artifact")
+    parser.add_argument("--weights_dtype", type=str, default=None,
+                        choices=["float32", "bfloat16"],
+                        help="storage dtype of the baked-in weights; "
+                        "bfloat16 halves the artifact and is numerically "
+                        "free on the bfloat16 compute path")
     parser.add_argument("--platforms", type=str, default=None,
                         help="comma list, e.g. 'tpu' or 'tpu,cpu' "
                         "(default: current backend)")
@@ -69,7 +74,7 @@ def main(argv=None):
     exported = export_serving(
         est, acfg, ofe_params, acc_params,
         (args.frames, args.batch or None, args.size, args.size, 3),
-        platforms=platforms,
+        platforms=platforms, weights_dtype=args.weights_dtype,
     )
     save_artifact(exported, args.out)
     import os

@@ -47,11 +47,31 @@ def build_serving_fn(est, acfg: AccFlowConfig, ofe_params, acc_params):
     return serve
 
 
+def cast_weights(params, dtype):
+    """Cast every floating leaf (weights, BN stats) to `dtype` — for
+    bfloat16 this halves the artifact size and weight HBM, and on the
+    bfloat16 compute path it is numerically identical to the f32-weight
+    artifact (layers cast weights to the activation dtype at use anyway;
+    the few float32-path ops just see once-rounded weights)."""
+    import jax.numpy as _jnp
+
+    dtype = _jnp.dtype(dtype)
+
+    def cast(a):
+        a = _jnp.asarray(a)
+        return a.astype(dtype) if _jnp.issubdtype(a.dtype, _jnp.floating) else a
+
+    return jax.tree.map(cast, params)
+
+
 def export_serving(
     est, acfg: AccFlowConfig, ofe_params, acc_params, clip_shape,
-    platforms=None,
+    platforms=None, weights_dtype=None,
 ):
     """jax.export.Exported for clip_shape = (T, N, H, W, 3).
+
+    weights_dtype: optional storage dtype for the baked-in weights
+    (cast_weights) — "bfloat16" halves the artifact.
 
     N=None exports a batch-POLYMORPHIC artifact (jax shape polymorphism):
     the StableHLO is lowered once with a symbolic batch dim and serves any
@@ -59,6 +79,9 @@ def export_serving(
     stay fixed (the accumulation scan and corr shapes specialize on them).
     Auto memory modes need concrete shapes — build the estimator with an
     explicit corr_lookup / attn_chunk when exporting polymorphically."""
+    if weights_dtype is not None:
+        ofe_params = cast_weights(ofe_params, weights_dtype)
+        acc_params = cast_weights(acc_params, weights_dtype)
     serve = jax.jit(build_serving_fn(est, acfg, ofe_params, acc_params))
     shape = tuple(clip_shape)
     if shape[1] is None:

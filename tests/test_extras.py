@@ -344,6 +344,31 @@ def test_serving_export_polymorphic_batch(tmp_path, rng):
             out, np.asarray(serve(images)), rtol=1e-5, atol=1e-5
         )
 
+    # weights_dtype="bfloat16" halves the artifact and equals running the
+    # serving fn on pre-cast params exactly
+    from accflow_tpu.serving import cast_weights
+
+    exp16 = export_serving(est, acfg, ofe_params, acc_params,
+                           (3, 1, 32, 32, 3), weights_dtype="bfloat16")
+    p16 = str(tmp_path / "w16.sflow")
+    save_artifact(exp16, p16)
+    pref = str(tmp_path / "wref.sflow")
+    save_artifact(
+        export_serving(est, acfg, ofe_params, acc_params, (3, 1, 32, 32, 3)),
+        pref,
+    )
+    import os
+
+    assert os.path.getsize(p16) < 0.6 * os.path.getsize(pref)
+    images1 = jnp.asarray(rng.uniform(-1, 1, (3, 1, 32, 32, 3)).astype(np.float32))
+    want16 = np.asarray(
+        jax.jit(build_serving_fn(
+            est, acfg, cast_weights(ofe_params, "bfloat16"),
+            cast_weights(acc_params, "bfloat16"),
+        ))(images1)
+    )
+    np.testing.assert_array_equal(np.asarray(load_artifact(p16)(images1)), want16)
+
     est_auto = build_flow_estimator("raft", compute_dtype="float32",
                                     iters=2, corr_lookup="auto")
     with pytest.raises(ValueError, match="symbolic"):
