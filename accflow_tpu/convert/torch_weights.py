@@ -174,16 +174,63 @@ def load_torch_file(path: str) -> Dict[str, np.ndarray]:
     return {k: _to_numpy(v) for k, v in sd.items()}
 
 
+def _load_npz_tree(path: str, template: Params, what: str) -> Params:
+    """Load a convert.store .npz param tree, validated against `template`
+    (same leaf paths and shapes — a clear error beats a deep shape
+    mismatch later)."""
+    from accflow_tpu.convert.store import _flatten, load_params
+
+    loaded = load_params(path)
+    lf, tf = _flatten(loaded), _flatten(template)
+    if set(lf) != set(tf):
+        missing = sorted(set(tf) - set(lf))[:5]
+        extra = sorted(set(lf) - set(tf))[:5]
+        raise ValueError(
+            f"{path} does not match the {what} param tree "
+            f"(missing {missing}, unexpected {extra})"
+        )
+    for k in tf:
+        if tuple(lf[k].shape) != tuple(np.asarray(tf[k]).shape):
+            raise ValueError(
+                f"{path}: {what} leaf {k} has shape {tuple(lf[k].shape)}, "
+                f"expected {tuple(np.asarray(tf[k]).shape)}"
+            )
+    return loaded
+
+
 def load_flow_estimator_checkpoint(path: str, template: Params) -> Params:
-    """Convert a raft-*/gma-*.pth checkpoint into an estimator param tree."""
+    """Load a raft-*/gma-* checkpoint into an estimator param tree:
+    a torch .pth (converted on the fly) or a cli.convert_ckpt .npz."""
+    if path.endswith(".npz"):
+        return _load_npz_tree(path, template, "estimator")
     sd = strip_module_prefix(load_torch_file(path))
     return convert_state_dict(template, sd)
 
 
 def load_accflow_checkpoint(path: str, acc_template: Params, ofe_template: Params):
-    """Convert an acc+{raft,gma}-*.pth checkpoint.
+    """Load an acc+{raft,gma}-* checkpoint: a torch .pth (converted on
+    the fly), or the cli.convert_ckpt .npz pair — pass the stem, or
+    either of <stem>.acc.npz / <stem>.ofe.npz.
 
     Returns (acc_params, ofe_params)."""
+    import os.path as _osp
+
+    if path.endswith(".npz") or not _osp.exists(path):
+        stem = path
+        for suffix in (".acc.npz", ".ofe.npz", ".npz"):
+            stem = stem.removesuffix(suffix)
+        acc_path, ofe_path = stem + ".acc.npz", stem + ".ofe.npz"
+        if _osp.exists(acc_path) and _osp.exists(ofe_path):
+            return (
+                _load_npz_tree(acc_path, acc_template, "accumulator"),
+                _load_npz_tree(ofe_path, ofe_template, "estimator"),
+            )
+        if path.endswith(".npz") or not _osp.exists(path):
+            raise FileNotFoundError(
+                f"acc checkpoint {path!r} not found — expected a torch "
+                f".pth file or the cli.convert_ckpt .npz pair "
+                f"({acc_path} + {ofe_path})"
+            )
     sd = strip_module_prefix(load_torch_file(path))
     ofe_sd, acc_sd = split_accflow_state(sd)
     return convert_state_dict(acc_template, acc_sd), convert_state_dict(

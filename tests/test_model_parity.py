@@ -699,3 +699,58 @@ def test_convert_ckpt_cli_roundtrip(tmp_path):
     assert len(flat_l) == len(flat_d)
     for path, leaf in flat_l:
         np.testing.assert_array_equal(np.asarray(leaf), np.asarray(flat_d[path]))
+
+
+def test_npz_checkpoints_load_through_ckpt_paths(tmp_path):
+    """Pre-converted .npz trees (cli.convert_ckpt output) load through the
+    SAME --ofe_ckpt/--acc_ckpt paths as .pth files: the estimator loader
+    takes the .npz directly, the acc loader takes the stem or either file
+    of the pair, and mismatched trees fail with a clear error."""
+    import argparse
+
+    from networks.AccFlow_ import AccFlow
+    from networks.raft.raft import RAFT
+
+    from accflow_tpu.cli.convert_ckpt import main as convert_main
+    from accflow_tpu.convert.torch_weights import (
+        load_accflow_checkpoint,
+        load_flow_estimator_checkpoint,
+    )
+    from accflow_tpu.models.accflow import AccFlowConfig, init_accflow
+    from accflow_tpu.models.raft import RAFTConfig, init_raft
+
+    torch.manual_seed(3)
+    ofe = RAFT(argparse.Namespace(small=False, mixed_precision=False)).eval()
+    acc = AccFlow(ofe).eval()
+    pth = str(tmp_path / "acc+raft-test.pth")
+    torch.save(acc.state_dict(), pth)
+
+    stem = str(tmp_path / "acc-raft-test")
+    convert_main(["--pth", pth, "--model", "acc+raft", "--out", stem])
+
+    ofe_template = init_raft(jax.random.PRNGKey(0), RAFTConfig())
+    acc_template = init_accflow(jax.random.PRNGKey(1), AccFlowConfig())
+    want_acc, want_ofe = load_accflow_checkpoint(pth, acc_template, ofe_template)
+
+    for handle in (stem, stem + ".acc.npz", stem + ".ofe.npz"):
+        got_acc, got_ofe = load_accflow_checkpoint(
+            handle, acc_template, ofe_template
+        )
+        for a, b in zip(jax.tree.leaves(got_acc), jax.tree.leaves(want_acc)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(got_ofe), jax.tree.leaves(want_ofe)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # the estimator .npz loads through the estimator path too
+    got = load_flow_estimator_checkpoint(stem + ".ofe.npz", ofe_template)
+    for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(want_ofe)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # mismatched template -> clear error, not a deep shape failure
+    small_template = init_raft(jax.random.PRNGKey(0), RAFTConfig(small=True))
+    with pytest.raises(ValueError, match="does not match|shape"):
+        load_flow_estimator_checkpoint(stem + ".ofe.npz", small_template)
+    with pytest.raises(FileNotFoundError, match="pair"):
+        load_accflow_checkpoint(
+            str(tmp_path / "nonexistent"), acc_template, ofe_template
+        )
