@@ -214,6 +214,34 @@ class FlowPipeline:
         flow = np.asarray(padder.unpad(out["flow_up"]), dtype=np.float32)
         return flow if batched else flow[0]
 
+    def occlusion(self, image1, image2, normalized: bool = False):
+        """Occlusion masks for the pair via the eval protocol's
+        bidirectional consistency check (test_cvo.py:53-78 semantics,
+        ops/occlusion.py::calc_occ_mask): estimates forward AND backward
+        flow, then thresholds |f + b∘f| against 0.01·(|f|+|b|) + 0.5.
+
+        Returns (flow_fw, occ_fw): the image1→image2 flow and a float
+        {0,1} mask of pixels occluded in image2 (1 = occluded), each
+        (H, W, ·) for HWC inputs or (N, H, W, ·) for NHWC.
+        """
+        from accflow_tpu.ops.occlusion import calc_occ_mask
+        from accflow_tpu.ops.padding import InputPadder
+
+        i1, batched = _as_frames(image1, normalized, "one")
+        i2, batched2 = _as_frames(image2, normalized, "one")
+        if i1.shape != i2.shape or batched != batched2:
+            raise ValueError(f"pair shapes disagree: {i1.shape} vs {i2.shape}")
+        padder = InputPadder(i1.shape)
+        p1, p2 = padder.pad_np(i1), padder.pad_np(i2)
+        fwd = self.est.forward(self.params, p1, p2, iters=self.iters,
+                               final_only=True)["flow_up"]
+        bwd = self.est.forward(self.params, p2, p1, iters=self.iters,
+                               final_only=True)["flow_up"]
+        _, occ_fw = calc_occ_mask(bwd, fwd)
+        flow = np.asarray(padder.unpad(fwd), dtype=np.float32)
+        occ = np.asarray(padder.unpad(occ_fw), dtype=np.float32)
+        return (flow, occ) if batched else (flow[0], occ[0])
+
     def pairs(self, frames, warm_start: bool = True, normalized: bool = False):
         """Consecutive-pair flows [f_{0->1}, ..., f_{T-2 -> T-1}] over a
         frame sequence, warm-starting each solve from the previous flow

@@ -80,6 +80,34 @@ def test_pair_flow_batched_and_gray(pipe, frames_u8):
     )
 
 
+def test_occlusion_matches_protocol(pipe, frames_u8):
+    """pipe.occlusion == calc_occ_mask over the two pair_flow directions
+    (the eval protocol's bidirectional check, test_cvo.py:53-78)."""
+    import jax.numpy as jnp
+
+    from accflow_tpu.ops.occlusion import calc_occ_mask
+
+    flow, occ = pipe.occlusion(frames_u8[0], frames_u8[1])
+    assert flow.shape == (H, W, 2) and occ.shape == (H, W, 1)
+    assert set(np.unique(occ)) <= {0.0, 1.0}
+
+    fwd = pipe.pair_flow(frames_u8[0], frames_u8[1])
+    bwd = pipe.pair_flow(frames_u8[1], frames_u8[0])
+    np.testing.assert_allclose(flow, fwd, rtol=1e-5, atol=1e-5)
+    # the mask thresholds padded flows; recompute on the same padded grid
+    from accflow_tpu.ops.padding import InputPadder
+
+    i1 = _norm(frames_u8[0])[None]
+    padder = InputPadder(i1.shape)
+    _, occ_fw = calc_occ_mask(
+        jnp.asarray(padder.pad_np(bwd[None])),
+        jnp.asarray(padder.pad_np(fwd[None])),
+    )
+    np.testing.assert_array_equal(
+        occ, np.asarray(padder.unpad(occ_fw))[0]
+    )
+
+
 def test_pairs_matches_evaluate_sequence(pipe, frames_u8):
     from accflow_tpu.ops.padding import InputPadder
     from accflow_tpu.train.evaluate import evaluate_sequence
