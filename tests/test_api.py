@@ -229,6 +229,22 @@ def test_api_errors(pipe, frames_u8):
         pipe.pair_flow(_norm(frames_u8[0]), _norm(frames_u8[1]))
 
 
+def test_pipeline_gma(frames_u8):
+    """from_checkpoint('acc+gma') threads the cross-model knobs (iters,
+    corr_lookup, attn_chunk) through the GMA config filter and runs both
+    inference modes."""
+    from accflow_tpu import FlowPipeline
+
+    pipe = FlowPipeline.from_checkpoint(
+        "acc+gma", compute_dtype="float32", iters=2, corr_lookup="mm",
+        attn_chunk=8,
+    )
+    flow = pipe.pair_flow(frames_u8[0], frames_u8[1])
+    assert flow.shape == (H, W, 2) and np.isfinite(flow).all()
+    outs = pipe.long_range(frames_u8)
+    assert outs.shape == (1, H, W, 2) and np.isfinite(outs).all()
+
+
 def test_from_checkpoint_routing(monkeypatch):
     """ofe_ckpt loads the estimator even when the acc branch is active
     (random-init accumulator); acc_ckpt+ofe_ckpt together is an error."""
