@@ -261,3 +261,54 @@ def test_sharded_acc_train_step_matches_unsharded(cpu_devices):
         np.asarray(jax.tree.leaves(out_state.params)[0]), ref_leaf,
         rtol=1e-4, atol=1e-5,
     )
+
+
+@pytest.mark.slow
+def test_sharded_grad_accum_matches_unsharded_full_batch(cpu_devices):
+    """grad_accum=2 under the 8-device data mesh == the unsharded
+    full-batch step: the (N)->(k, m) micro-batch reshape crosses the
+    sharded batch axis (GSPMD reshards per micro-batch) without changing
+    the averaged gradients."""
+    from accflow_tpu.models import build_flow_estimator
+    from accflow_tpu.models.accflow import AccFlowConfig, init_accflow
+    from accflow_tpu.train.engine import TrainState, make_acc_train_step
+    from accflow_tpu.train.optim import make_optimizer
+
+    est = build_flow_estimator("raft", compute_dtype="float32", iters=2)
+    acfg = AccFlowConfig(compute_dtype="float32")
+    ofe_params = est.init(jax.random.PRNGKey(0))
+    acc_params = init_accflow(jax.random.PRNGKey(1), acfg)
+    tx, _ = make_optimizer(lr=1e-4, num_steps=10, wdecay=1e-5, clip=1.0)
+
+    rng = np.random.default_rng(1)
+    imgs = jnp.asarray(rng.uniform(0, 255, (8, 48, 48, 21)).astype(np.float32))
+    bflows = jnp.asarray(rng.uniform(-5, 5, (8, 48, 48, 10)).astype(np.float32))
+    key = jax.random.PRNGKey(3)
+
+    def fresh():
+        return TrainState(
+            jax.tree.map(jnp.copy, acc_params), tx.init(acc_params),
+            jnp.int32(0),
+        )
+
+    step_full, _ = make_acc_train_step(est, acfg, tx, add_noise=False)
+    ref_state, ref_loss, _ = step_full(fresh(), ofe_params, imgs, bflows, key)
+    ref_leaf = np.asarray(jax.tree.leaves(ref_state.params)[0])
+
+    step_ga, _ = make_acc_train_step(est, acfg, tx, add_noise=False,
+                                     grad_accum=2)
+    mesh = make_mesh(n_data=8, n_spatial=1)
+    bsh = NamedSharding(mesh, P("data", None, None, None))
+    rep = NamedSharding(mesh, P())
+    out_state, loss_s, _ = step_ga(
+        jax.device_put(fresh(), rep),
+        jax.device_put(ofe_params, rep),
+        jax.device_put(imgs, bsh),
+        jax.device_put(bflows, bsh),
+        key,
+    )
+    np.testing.assert_allclose(float(loss_s), float(ref_loss), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(out_state.params)[0]), ref_leaf,
+        rtol=2e-4, atol=1e-5,
+    )
