@@ -182,6 +182,11 @@ def main(argv=None):
                         "previous flow advected along itself (streaming)")
     parser.add_argument("--no_viz", action="store_true",
                         help="skip the flow-colour PNGs, write .flo only")
+    parser.add_argument("--occ", action="store_true",
+                        help="pairs mode: also estimate backward flows "
+                        "and write bidirectional occlusion masks "
+                        "(*_occ.png; doubles the solves, ignores "
+                        "--warm_start)")
     parser.add_argument("--corr_lookup", type=str, default="auto",
                         help="correlation impl (ops/corr.py). Default "
                         "'auto' uses the fast stored-volume path while it "
@@ -242,6 +247,20 @@ def main(argv=None):
             save_flow(args.out, f"{stem(i + 2)}_to_{stem(0)}", outs[i, 0],
                       viz=not args.no_viz)
         print(f"[demo] wrote {outs.shape[0]} accumulated flows to {args.out}")
+    elif args.occ:
+        from PIL import Image
+        import numpy as np
+
+        for i in range(t - 1):
+            flow, occ = pipe.occlusion(frames[i], frames[i + 1],
+                                       normalized=True)
+            name = f"{stem(i)}_to_{stem(i + 1)}"
+            save_flow(args.out, name, flow[0], viz=not args.no_viz)
+            Image.fromarray(
+                (occ[0, ..., 0] * 255).astype(np.uint8)
+            ).save(osp.join(args.out, name + "_occ.png"))
+        print(f"[demo] wrote {t - 1} pair flows + occlusion masks to "
+              f"{args.out}")
     else:
         flows = pipe.pairs(frames, warm_start=args.warm_start,
                            normalized=True)

@@ -66,6 +66,24 @@ def test_demo_pairs_ondemand_lookup(frame_dir, tmp_path):
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
 
 
+def test_demo_occ_mode(frame_dir, tmp_path):
+    """--occ writes an occlusion-mask PNG next to each pair flow."""
+    from PIL import Image
+
+    from accflow_tpu.cli.demo import main
+
+    out = str(tmp_path / "out_occ")
+    main(["--frames", frame_dir, "--out", out, "--iters", "2", "--occ",
+          "--no_viz", "--compute-dtype", "float32"])
+    flow = _read(out, "frame_000_to_frame_001.flo")
+    assert flow.shape == (36, 44, 2)
+    mask = np.asarray(
+        Image.open(os.path.join(out, "frame_000_to_frame_001_occ.png"))
+    )
+    assert mask.shape == (36, 44)
+    assert set(np.unique(mask)) <= {0, 255}
+
+
 def test_demo_long_mode(frame_dir, tmp_path):
     from accflow_tpu.cli.demo import main
 
