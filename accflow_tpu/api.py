@@ -233,10 +233,15 @@ class FlowPipeline:
             raise ValueError(f"pair shapes disagree: {i1.shape} vs {i2.shape}")
         padder = InputPadder(i1.shape)
         p1, p2 = padder.pad_np(i1), padder.pad_np(i2)
-        fwd = self.est.forward(self.params, p1, p2, iters=self.iters,
-                               final_only=True)["flow_up"]
-        bwd = self.est.forward(self.params, p2, p1, iters=self.iters,
-                               final_only=True)["flow_up"]
+        # One batched solve for both directions: rows [0, N) are
+        # image1->image2, rows [N, 2N) the reverse. Same compiled shape
+        # would otherwise run twice; this halves dispatches.
+        n = p1.shape[0]
+        src = np.concatenate([p1, p2], axis=0)
+        dst = np.concatenate([p2, p1], axis=0)
+        both = self.est.forward(self.params, src, dst, iters=self.iters,
+                                final_only=True)["flow_up"]
+        fwd, bwd = both[:n], both[n:]
         _, occ_fw = calc_occ_mask(bwd, fwd)
         flow = np.asarray(padder.unpad(fwd), dtype=np.float32)
         occ = np.asarray(padder.unpad(occ_fw), dtype=np.float32)
