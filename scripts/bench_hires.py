@@ -92,9 +92,10 @@ def main():
         ("1024_fused_b1", 1024, 1, "fused", {}),
         ("1024_ondemand_b1", 1024, 1, "ondemand", {}),
         # 1536^2: the stored volume (~7.2 GB f32 per pair before lane
-        # padding) is already past what the acc cell's 2-pair step can
-        # hold; the on-demand row locates the streaming mode's practical
-        # ceiling on one 16 GB chip.
+        # padding) is uncompilable — the first acc step batches THREE
+        # pairs (accflow.py:17), i.e. >21 GB of volumes on a 16 GB chip;
+        # the on-demand row locates the streaming mode's practical
+        # ceiling here.
         ("1536_fused_b1", 1536, 1, "fused", {}),
         ("1536_ondemand_b1", 1536, 1, "ondemand", {}),
         ("2048_fused_b1", 2048, 1, "fused", {}),
