@@ -13,11 +13,15 @@ import jax
 from accflow_tpu.models.raft import (  # noqa: F401
     RAFTConfig,
     init_raft,
+    raft_encode_frame,
+    raft_flow_pairs_from_features,
     raft_forward,
     raft_pairs_forward,
 )
 from accflow_tpu.models.gma import (  # noqa: F401
     GMAConfig,
+    gma_encode_frame,
+    gma_flow_pairs_from_features,
     gma_forward,
     gma_pairs_forward,
     init_gma,
@@ -32,12 +36,16 @@ from accflow_tpu.models.accflow import (  # noqa: F401
 class FlowEstimator:
     """A (config, init, forward) bundle for RAFT or GMA."""
 
-    def __init__(self, name: str, cfg, init_fn, forward_fn, pairs_forward_fn=None):
+    def __init__(self, name: str, cfg, init_fn, forward_fn,
+                 pairs_forward_fn=None, encode_frame_fn=None,
+                 pairs_from_features_fn=None):
         self.name = name
         self.cfg = cfg
         self._init = init_fn
         self._forward = forward_fn
         self._pairs_forward = pairs_forward_fn
+        self._encode_frame = encode_frame_fn
+        self._pairs_from_features = pairs_from_features_fn
 
     def init(self, key: jax.Array):
         return self._init(key, self.cfg)
@@ -65,6 +73,25 @@ class FlowEstimator:
                 iters=iters, final_only=final_only,
             )
 
+        return fn
+
+    def encode_frame_fn(self, params):
+        """Closure (image_batch) -> cacheable per-frame features
+        ({fmap, net, inp}) for the streaming carry (streaming.py)."""
+        def fn(image, train: bool = False):
+            return self._encode_frame(params, image, self.cfg, train)
+        return fn
+
+    def pairs_from_features_fn(self, params, iters=None,
+                               final_only: bool = True):
+        """Closure (src_feats, dst_fmaps, flow_init=None) -> (P*N, H, W, 2)
+        flows from precomputed features — the streaming step's OFE call
+        (1 fnet + 1 cnet per NEW frame; cached maps for the rest)."""
+        def fn(src, dst_fmaps, flow_init=None):
+            return self._pairs_from_features(
+                params, src, dst_fmaps, self.cfg, iters=iters,
+                flow_init=flow_init, final_only=final_only,
+            )
         return fn
 
     def flow_fn(self, params):
@@ -107,8 +134,12 @@ def build_flow_estimator(
     lname = name.lower()
     if "raft" in lname:
         cfg = _cfg_for(RAFTConfig, GMAConfig, compute_dtype, cfg_overrides)
-        return FlowEstimator(name, cfg, init_raft, raft_forward, raft_pairs_forward)
+        return FlowEstimator(name, cfg, init_raft, raft_forward,
+                             raft_pairs_forward, raft_encode_frame,
+                             raft_flow_pairs_from_features)
     if "gma" in lname:
         cfg = _cfg_for(GMAConfig, RAFTConfig, compute_dtype, cfg_overrides)
-        return FlowEstimator(name, cfg, init_gma, gma_forward, gma_pairs_forward)
+        return FlowEstimator(name, cfg, init_gma, gma_forward,
+                             gma_pairs_forward, gma_encode_frame,
+                             gma_flow_pairs_from_features)
     raise NotImplementedError(f"unknown flow estimator: {name}")

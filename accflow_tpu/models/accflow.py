@@ -216,6 +216,43 @@ OfeFn = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
 # closed-over frozen flow estimator (RAFT or GMA forward returning flow_up).
 
 
+def _cell_from_ctx(
+    params: Params,
+    dflow: jnp.ndarray,
+    flow_ini: jnp.ndarray,
+    F2n: jnp.ndarray,
+    c1: jnp.ndarray,
+    c2: jnp.ndarray,
+    cn: jnp.ndarray,
+    cfg: AccFlowConfig,
+):
+    """Cell modules on precomputed 1/8-res OFE flows AND precomputed
+    context features (c1/c2/cn = context of frames i, i-1, n in compute
+    dtype). The context encoder is norm="none" per-sample convs, so
+    splitting its batch is exact — streaming (streaming.py) caches c2/cn
+    across steps and encodes only the new frame."""
+    cd = jnp.dtype(cfg.compute_dtype)
+    n = dflow.shape[0]
+    f_enc = flow_encoder(
+        params["flow_encoder"],
+        jnp.concatenate([flow_ini, dflow, F2n], axis=0).astype(cd),
+    )
+    f_ini, df, f = f_enc[:n], f_enc[n : 2 * n], f_enc[2 * n :]
+
+    o = photometric_occ(dflow, c1.astype(jnp.float32), c2.astype(jnp.float32))
+    o = lax.stop_gradient(o)
+    f_acc = accplus(params["accplus"], df, f, o.astype(cd), c1)
+
+    emap = photometric_occ(
+        flow_ini, c1.astype(jnp.float32), cn.astype(jnp.float32), binary=False
+    )
+    emap = lax.stop_gradient(emap)
+    f_fuse = blending(params["blending"], f_ini, f_acc, emap.astype(cd))
+
+    out_small, out = flow_decoder(params["flow_decoder"], f_fuse)
+    return out_small.astype(jnp.float32), out.astype(jnp.float32)
+
+
 def _cell_modules(
     params: Params,
     dflow: jnp.ndarray,
@@ -230,31 +267,13 @@ def _cell_modules(
     (everything in AccFlow_.py:177-201 after the no_grad OFE queries)."""
     cd = jnp.dtype(cfg.compute_dtype)
     n = I1.shape[0]
-    f_enc = flow_encoder(
-        params["flow_encoder"],
-        jnp.concatenate([flow_ini, dflow, F2n], axis=0).astype(cd),
-    )
-    f_ini, df, f = f_enc[:n], f_enc[n : 2 * n], f_enc[2 * n :]
-
     ctx = basic_encoder(
         params["context"],
         jnp.concatenate([I1, I2, In], axis=0).astype(cd),
         "none", stem_s2d=cfg.stem_s2d,
     )
     c1, c2, cn = ctx[:n], ctx[n : 2 * n], ctx[2 * n :]
-
-    o = photometric_occ(dflow, c1.astype(jnp.float32), c2.astype(jnp.float32))
-    o = lax.stop_gradient(o)
-    f_acc = accplus(params["accplus"], df, f, o.astype(cd), c1)
-
-    emap = photometric_occ(
-        flow_ini, c1.astype(jnp.float32), cn.astype(jnp.float32), binary=False
-    )
-    emap = lax.stop_gradient(emap)
-    f_fuse = blending(params["blending"], f_ini, f_acc, emap.astype(cd))
-
-    out_small, out = flow_decoder(params["flow_decoder"], f_fuse)
-    return out_small.astype(jnp.float32), out.astype(jnp.float32)
+    return _cell_from_ctx(params, dflow, flow_ini, F2n, c1, c2, cn, cfg)
 
 
 def _accflow_cell(

@@ -53,6 +53,7 @@ from accflow_tpu.ops.corr import (
     is_ondemand,
     ondemand_chunk,
     prepare_ondemand_chunks,
+    normalize_corr_lookup,
     resolve_auto_lookup,
     stored_volume_bytes,
     lookup,
@@ -387,7 +388,8 @@ def gma_forward(
     h8, w8 = image1.shape[1] // 8, image1.shape[2] // 8
     vdt = jnp.dtype(cfg.corr_volume_dtype)
     corr_lookup = resolve_auto_lookup(
-        cfg.corr_lookup, n, h8, w8, num_levels=cfg.corr_levels, dtype=vdt)
+        normalize_corr_lookup(cfg.corr_lookup), n, h8, w8,
+        num_levels=cfg.corr_levels, dtype=vdt)
     cfg = dataclasses.replace(
         cfg,
         corr_lookup=corr_lookup,
@@ -415,6 +417,63 @@ def gma_forward(
         params, pyramid, net, inp, attn, cfg, iters=iters,
         flow_init=flow_init, final_only=final_only,
     )
+
+
+def gma_encode_frame(params: Params, image: jnp.ndarray, cfg: GMAConfig,
+                     train: bool = False) -> dict:
+    """Cacheable per-frame features for streaming serving (see
+    models/raft.py::raft_encode_frame — same exactness argument)."""
+    cd = jnp.dtype(cfg.compute_dtype)
+    fmap = basic_encoder(params["fnet"], image.astype(cd), "instance",
+                         stem_s2d=cfg.stem_s2d)
+    net, inp = gma_cnet(params, image, cfg, train)
+    return {"fmap": fmap, "net": net, "inp": inp}
+
+
+def gma_flow_pairs_from_features(
+    params: Params,
+    src: dict,
+    dst_fmaps,
+    cfg: GMAConfig,
+    iters: Optional[int] = None,
+    flow_init: Optional[jnp.ndarray] = None,
+    final_only: bool = True,
+):
+    """Pair flows src -> each dst with precomputed features (see
+    models/raft.py::raft_flow_pairs_from_features). The attention matrix
+    depends only on the src frame's context, so it is built once on the
+    tiled inp exactly as gma_forward would on the stacked batch."""
+    iters = cfg.iters if iters is None else iters
+    cd = jnp.dtype(cfg.compute_dtype)
+    fmap1 = src["fmap"]
+    p = len(dst_fmaps)
+    n, h8, w8 = fmap1.shape[0], fmap1.shape[1], fmap1.shape[2]
+    vdt = jnp.dtype(cfg.corr_volume_dtype)
+    corr_lookup = resolve_auto_lookup(
+        normalize_corr_lookup(cfg.corr_lookup), p * n, h8, w8,
+        num_levels=cfg.corr_levels, dtype=vdt)
+    cfg = dataclasses.replace(
+        cfg,
+        corr_lookup=corr_lookup,
+        attn_chunk=resolve_auto_attn_chunk(
+            cfg.attn_chunk, p * n, cfg.num_heads, h8, w8,
+            reserved_bytes=0 if is_ondemand(corr_lookup) else
+            stored_volume_bytes(p * n, h8, w8, cfg.corr_levels, vdt),
+            compute_dtype=cfg.compute_dtype,
+            positional=cfg.position_only or cfg.position_and_content),
+    )
+    f1 = jnp.concatenate([fmap1] * p, axis=0).astype(jnp.float32)
+    f2 = jnp.concatenate(list(dst_fmaps), axis=0).astype(jnp.float32)
+    pyramid = build_corr_operands(
+        f1, f2, cfg.corr_levels, cfg.corr_lookup,
+        precision=cfg.corr_precision, dtype=vdt,
+    )
+    net = jnp.concatenate([src["net"]] * p, axis=0)
+    inp = jnp.concatenate([src["inp"]] * p, axis=0)
+    attn = attention(params["att"], inp, cfg, out_dtype=cd)
+    out = gma_iterate(params, pyramid, net, inp, attn, cfg, iters=iters,
+                      flow_init=flow_init, final_only=final_only)
+    return out["flow_up"]
 
 
 def gma_cnet(params: Params, image1: jnp.ndarray, cfg: GMAConfig, train: bool = False):
@@ -592,7 +651,8 @@ def gma_pairs_forward(
     h8, w8 = h // 8, w // 8
     vdt = jnp.dtype(cfg.corr_volume_dtype)
     corr_lookup = resolve_auto_lookup(
-        cfg.corr_lookup, p * n, h8, w8, num_levels=cfg.corr_levels, dtype=vdt)
+        normalize_corr_lookup(cfg.corr_lookup), p * n, h8, w8,
+        num_levels=cfg.corr_levels, dtype=vdt)
     cfg = dataclasses.replace(
         cfg,
         corr_lookup=corr_lookup,

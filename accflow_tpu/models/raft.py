@@ -41,6 +41,7 @@ from accflow_tpu.ops.corr import (
     is_ondemand,
     ondemand_chunk,
     prepare_ondemand_chunks,
+    normalize_corr_lookup,
     resolve_auto_lookup,
     lookup,
     lookup_corr_split,
@@ -473,7 +474,8 @@ def raft_forward(
     iters = cfg.iters if iters is None else iters
     n, h, w = image1.shape[0], image1.shape[1], image1.shape[2]
     cfg = dataclasses.replace(cfg, corr_lookup=resolve_auto_lookup(
-        cfg.corr_lookup, n, h // 8, w // 8, num_levels=cfg.corr_levels,
+        normalize_corr_lookup(cfg.corr_lookup), n, h // 8, w // 8,
+        num_levels=cfg.corr_levels,
         dtype=jnp.dtype(cfg.corr_volume_dtype)))
     pyramid, net, inp = raft_features(params, image1, image2, cfg, train)
     return raft_iterate(
@@ -653,6 +655,56 @@ def raft_iterate(
     }
 
 
+def raft_encode_frame(params: Params, image: jnp.ndarray, cfg: RAFTConfig,
+                      train: bool = False) -> dict:
+    """Cacheable per-frame features for streaming serving
+    (accflow_tpu/streaming.py): the fnet feature map plus the cnet
+    (net, inp) initial state. fnet's instance norm and the frozen-BN
+    cnet are per-sample, so encoding frames separately is exact vs the
+    batched encodes of raft_forward/raft_pairs_forward."""
+    fmap = raft_fnet(params, image, cfg)
+    net, inp = raft_cnet(params, image, cfg, train)
+    return {"fmap": fmap, "net": net, "inp": inp}
+
+
+def raft_flow_pairs_from_features(
+    params: Params,
+    src: dict,
+    dst_fmaps,
+    cfg: RAFTConfig,
+    iters: Optional[int] = None,
+    flow_init: Optional[jnp.ndarray] = None,
+    final_only: bool = True,
+):
+    """Pair flows src -> each dst with PRECOMPUTED features.
+
+    src: raft_encode_frame of the query frame; dst_fmaps: list of P
+    cached fnet maps. The streaming accumulator caches the anchor
+    frame's and the previous frame's features in its carry, so each
+    step encodes only the new frame (1 fnet + 1 cnet instead of the
+    4 fnet + 2 cnet a plain 2-pair forward costs). Returns flow_up
+    (P*N, H, W, 2), P-major; flow_init likewise (P*N, H/8, W/8, 2)."""
+    iters = cfg.iters if iters is None else iters
+    fmap1, net, inp = src["fmap"], src["net"], src["inp"]
+    p = len(dst_fmaps)
+    n, h8, w8 = fmap1.shape[0], fmap1.shape[1], fmap1.shape[2]
+    cfg = dataclasses.replace(cfg, corr_lookup=resolve_auto_lookup(
+        normalize_corr_lookup(cfg.corr_lookup), p * n, h8, w8,
+        num_levels=cfg.corr_levels,
+        dtype=jnp.dtype(cfg.corr_volume_dtype)))
+    f1 = jnp.concatenate([fmap1] * p, axis=0).astype(jnp.float32)
+    f2 = jnp.concatenate(list(dst_fmaps), axis=0).astype(jnp.float32)
+    pyramid = build_corr_operands(
+        f1, f2, cfg.corr_levels, cfg.corr_lookup,
+        precision=cfg.corr_precision, dtype=jnp.dtype(cfg.corr_volume_dtype),
+    )
+    net = jnp.concatenate([net] * p, axis=0)
+    inp = jnp.concatenate([inp] * p, axis=0)
+    out = raft_iterate(params, pyramid, net, inp, cfg, iters=iters,
+                       flow_init=flow_init, final_only=final_only)
+    return out["flow_up"]
+
+
 def raft_pairs_forward(
     params: Params,
     frames: jnp.ndarray,
@@ -680,7 +732,8 @@ def raft_pairs_forward(
     k, n, h, w, _ = frames.shape
     p = len(src_idx)
     cfg = dataclasses.replace(cfg, corr_lookup=resolve_auto_lookup(
-        cfg.corr_lookup, p * n, h // 8, w // 8, num_levels=cfg.corr_levels,
+        normalize_corr_lookup(cfg.corr_lookup), p * n, h // 8, w // 8,
+        num_levels=cfg.corr_levels,
         dtype=jnp.dtype(cfg.corr_volume_dtype)))
 
     used = sorted(set(src_idx) | set(dst_idx))

@@ -21,8 +21,14 @@ random init), then runs the CVO protocol (evaluate_cvo) for every
 (iters, warm) config with the SAME weights — only the iteration schedule
 differs — and prints EPE all + delta vs cold12.
 
-Env knobs: BENCH_BATCH, BENCH_SIZE, QUALITY, QUALITY_STEPS (default 300),
-QUALITY_SIZE (default 256), QUALITY_CLIPS (default 10).
+A `streamN` row measures the PRODUCTIZED stateful streaming surface
+(accflow_tpu/streaming.py — FlowPipeline.stream() / export --streaming):
+steady-state per-frame steps with the state resident on device, i.e. the
+serving configuration bench.py reports as stream_frames_per_sec.
+
+Env knobs: BENCH_BATCH, BENCH_SIZE, BENCH_OFE (raft|gma), QUALITY,
+QUALITY_STEPS (default 300), QUALITY_SIZE (default 256), QUALITY_CLIPS
+(default 10).
 """
 
 import os
@@ -35,6 +41,7 @@ import numpy as np
 
 BATCH = int(os.environ.get("BENCH_BATCH", "2"))
 SIZE = int(os.environ.get("BENCH_SIZE", "512"))
+OFE = os.environ.get("BENCH_OFE", "raft")
 FRAMES = 7
 K = 4
 
@@ -57,7 +64,7 @@ def quality_table(root, ofe_params, acc_params, configs=CONFIGS, batch=2,
     rows = []
     for name, iters, warm in configs:
         r = evaluate_cvo(
-            "acc|raft", root, batch=batch, iters=iters,
+            f"acc|{OFE}", root, batch=batch, iters=iters,
             params=ofe_params, acc_params=acc_params,
             warm_start=warm, compute_dtype=compute_dtype,
             result_file=result_file or os.devnull,
@@ -112,9 +119,9 @@ def run_quality():
     )
     ft_ckpt = os.path.join(tmp, "ckpt_ft")
     ft_resume = "auto" if reuse and os.path.isdir(ft_ckpt) else None
-    print(f"[quality] fine-tuning RAFT for {steps} steps on synthetic data"
+    print(f"[quality] fine-tuning {OFE.upper()} for {steps} steps on synthetic data"
           + (" (resume auto)" if ft_resume else ""))
-    ft = fine_tune(AttrDict(dict(common, exp_name="RAFT-synth",
+    ft = fine_tune(AttrDict(dict(common, exp_name=f"{OFE.upper()}-synth",
                                  log_dir=os.path.join(tmp, "logs_ft"),
                                  ckpt_dir=ft_ckpt, resume=ft_resume)),
                    max_steps=steps)
@@ -123,7 +130,7 @@ def run_quality():
     ta_resume = (
         "auto" if reuse and os.path.isdir(common["ckpt_dir"]) else None
     )
-    ta = train_acc(AttrDict(dict(common, exp_name="Acc+RAFT-synth",
+    ta = train_acc(AttrDict(dict(common, exp_name=f"Acc+{OFE.upper()}-synth",
                                  ofe_params=ofe_params, resume=ta_resume)),
                    max_steps=steps)
     acc_params = ta.params
@@ -155,8 +162,52 @@ def main():
         rng.uniform(-1.0, 1.0, (FRAMES, BATCH, SIZE, SIZE, 3)).astype(np.float32)
     )
 
+    def stream_time(iters):
+        """Steady-state per-frame step time of the productized streaming
+        surface (accflow_tpu.streaming) — mirrors bench.py measure_stream."""
+        from accflow_tpu.streaming import make_streaming_fns
+
+        est = build_flow_estimator(OFE, compute_dtype="bfloat16", iters=iters,
+                                   scan_unroll=4,
+                                   corr_lookup=os.environ.get("BENCH_LOOKUP", "fused"),
+                                   attn_chunk=int(os.environ.get("BENCH_ATTN_CHUNK", "0")))
+        acfg = AccFlowConfig(compute_dtype="bfloat16", warm_start=True)
+        ofe_params = est.init(jax.random.PRNGKey(0))
+        acc_params = init_accflow(jax.random.PRNGKey(1), acfg)
+        init_fn, step_fn = make_streaming_fns(est, acfg, ofe_params, acc_params)
+        _, state0 = jax.jit(init_fn)(images[:3])
+        frame0 = images[2]
+
+        def make_loop(k):
+            def loop(state, frame):
+                def body(i, carry):
+                    checksum, state, frame = carry
+                    out, state = step_fn(state, frame)
+                    s = jnp.sum(out[0, 0, 0]).astype(jnp.float32)
+                    frame = frame + s * 1e-30
+                    return (checksum + s, state, frame)
+
+                checksum, _, _ = jax.lax.fori_loop(
+                    0, k, body, (jnp.float32(0.0), state, frame))
+                return checksum
+
+            return jax.jit(loop)
+
+        k = 4 * K
+        f1, f2 = make_loop(k), make_loop(2 * k)
+        float(f1(state0, frame0))
+        float(f2(state0, frame0))
+        t0 = time.perf_counter()
+        float(f1(state0, frame0))
+        t1 = time.perf_counter()
+        float(f2(state0, frame0))
+        t2 = time.perf_counter()
+        return max((t2 - t1) - (t1 - t0), 1e-9) / k / BATCH
+
     def clip_time(iters, warm):
-        est = build_flow_estimator("raft", compute_dtype="bfloat16", iters=iters)
+        est = build_flow_estimator(OFE, compute_dtype="bfloat16", iters=iters,
+                                   corr_lookup=os.environ.get("BENCH_LOOKUP", "fused"),
+                                   attn_chunk=int(os.environ.get("BENCH_ATTN_CHUNK", "0")))
         acfg = AccFlowConfig(compute_dtype="bfloat16", warm_start=warm)
         ofe_params = est.init(jax.random.PRNGKey(0))
         acc_params = init_accflow(jax.random.PRNGKey(1), acfg)
@@ -191,10 +242,24 @@ def main():
         t2 = time.perf_counter()
         return max((t2 - t1) - (t1 - t0), 1e-9) / K / BATCH
 
+    # BENCH_CONFIGS: comma list of row names (cold12, warm6, stream4, ...)
+    # to (re)run — the relay sometimes drops long multi-config processes.
+    only = os.environ.get("BENCH_CONFIGS")
+    only = set(only.split(",")) if only else None
+
     for name, iters, warm in CONFIGS:
+        if only is not None and name not in only:
+            continue
         t = clip_time(iters, warm)
         print(f"{name:8s} {t*1e3:8.1f} ms/clip  ({FRAMES/t:6.1f} frames/s)",
               flush=True)
+
+    for iters in (6, 4):
+        if only is not None and f"stream{iters}" not in only:
+            continue
+        t = stream_time(iters)
+        print(f"stream{iters} {t*1e3:8.1f} ms/frame ({1.0/t:6.1f} frames/s)"
+              " steady-state", flush=True)
 
     if os.environ.get("QUALITY", "0") == "1":
         run_quality()

@@ -1,0 +1,191 @@
+"""Streaming serving surface (accflow_tpu/streaming.py).
+
+Pins that the stateful frame-by-frame path is EXACTLY the in-clip
+warm-start recurrence (models/accflow.py::_accflow_forward_warmstart —
+itself equivalence-tested against the stepwise reference semantics), that
+the exported (init, step) artifact reproduces the live path, and that the
+user-facing FlowStream handles padding/normalization like the clip API.
+Small f32 models keep tolerances tight (conv batch-splitting is the only
+numerical difference between the paths).
+"""
+
+import numpy as np
+import pytest
+
+T, N, H, W = 6, 1, 64, 48
+ITERS = 2
+
+
+@pytest.fixture(scope="module")
+def setup():
+    import jax
+
+    from accflow_tpu.models import build_flow_estimator
+    from accflow_tpu.models.accflow import AccFlowConfig, init_accflow
+
+    est = build_flow_estimator("raft", compute_dtype="float32", iters=ITERS)
+    acfg = AccFlowConfig(compute_dtype="float32", warm_start=True)
+    ofe_params = est.init(jax.random.PRNGKey(0))
+    acc_params = init_accflow(jax.random.PRNGKey(1), acfg)
+    rng = np.random.default_rng(0)
+    frames = rng.uniform(-1, 1, (T, N, H, W, 3)).astype(np.float32)
+    return est, acfg, ofe_params, acc_params, frames
+
+
+def _clip_reference(setup_tuple):
+    import jax.numpy as jnp
+
+    from accflow_tpu.models.accflow import accflow_forward
+
+    est, acfg, ofe_params, acc_params, frames = setup_tuple
+    return np.asarray(
+        accflow_forward(
+            acc_params, est.flow_fn(ofe_params), jnp.asarray(frames), acfg
+        )
+    )
+
+
+def test_stream_accumulator_matches_warmstart_clip(setup):
+    from accflow_tpu.streaming import StreamAccumulator
+
+    est, acfg, ofe_params, acc_params, frames = setup
+    want = _clip_reference(setup)
+
+    acc = StreamAccumulator(est, acfg, ofe_params, acc_params)
+    outs = [np.asarray(acc.reset(frames[:3]))]
+    for i in range(3, T):
+        outs.append(np.asarray(acc.push(frames[i])))
+    got = np.stack(outs, axis=0)
+    assert got.shape == want.shape == (T - 2, N, H, W, 2)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_stream_push_before_reset_raises(setup):
+    from accflow_tpu.streaming import StreamAccumulator
+
+    est, acfg, ofe_params, acc_params, frames = setup
+    acc = StreamAccumulator(est, acfg, ofe_params, acc_params)
+    with pytest.raises(RuntimeError, match="reset"):
+        acc.push(frames[0])
+
+
+def test_streaming_gma_matches_warmstart_clip():
+    import jax
+
+    from accflow_tpu.models import build_flow_estimator
+    from accflow_tpu.models.accflow import AccFlowConfig, init_accflow
+    from accflow_tpu.streaming import StreamAccumulator
+
+    est = build_flow_estimator("gma", compute_dtype="float32", iters=2)
+    acfg = AccFlowConfig(compute_dtype="float32", warm_start=True)
+    ofe_params = est.init(jax.random.PRNGKey(0))
+    acc_params = init_accflow(jax.random.PRNGKey(1), acfg)
+    rng = np.random.default_rng(1)
+    frames = rng.uniform(-1, 1, (4, 1, 48, 48, 3)).astype(np.float32)
+
+    want = _clip_reference((est, acfg, ofe_params, acc_params, frames))
+    acc = StreamAccumulator(est, acfg, ofe_params, acc_params)
+    outs = [np.asarray(acc.reset(frames[:3]))]
+    outs.append(np.asarray(acc.push(frames[3])))
+    np.testing.assert_allclose(np.stack(outs), want, rtol=1e-4, atol=1e-4)
+
+
+def test_streaming_export_roundtrip(setup, tmp_path):
+    from accflow_tpu.streaming import (
+        StreamAccumulator,
+        export_streaming,
+        load_streaming_artifact,
+        save_streaming_artifact,
+    )
+
+    est, acfg, ofe_params, acc_params, frames = setup
+    path = str(tmp_path / "stream.sflows")
+    init_exp, step_exp = export_streaming(
+        est, acfg, ofe_params, acc_params, (N, H, W)
+    )
+    save_streaming_artifact(path, init_exp, step_exp)
+    art = load_streaming_artifact(path)
+    assert art.frame_shape == (N, H, W, 3)
+
+    live = StreamAccumulator(est, acfg, ofe_params, acc_params)
+    a = [np.asarray(art.reset(frames[:3]))]
+    b = [np.asarray(live.reset(frames[:3]))]
+    for i in range(3, 5):
+        a.append(np.asarray(art.push(frames[i])))
+        b.append(np.asarray(live.push(frames[i])))
+    np.testing.assert_allclose(np.stack(a), np.stack(b), rtol=1e-5, atol=1e-5)
+
+
+def test_streaming_export_bf16_weights(setup, tmp_path):
+    # weights_dtype="bfloat16" must produce a loadable artifact whose
+    # outputs stay close to the f32-weight export (smoke-level tolerance:
+    # the f32 compute path sees once-rounded weights).
+    from accflow_tpu.streaming import (
+        export_streaming,
+        load_streaming_artifact,
+        save_streaming_artifact,
+    )
+
+    est, acfg, ofe_params, acc_params, frames = setup
+    path = str(tmp_path / "stream_bf16.sflows")
+    init_exp, step_exp = export_streaming(
+        est, acfg, ofe_params, acc_params, (N, H, W),
+        weights_dtype="bfloat16",
+    )
+    save_streaming_artifact(path, init_exp, step_exp)
+    art = load_streaming_artifact(path)
+    out = np.asarray(art.reset(frames[:3]))
+    assert out.shape == (N, H, W, 2) and np.isfinite(out).all()
+
+
+def test_flow_stream_api(setup):
+    """FlowPipeline.stream(): raw-uint8 frames, odd size (pad/unpad), and
+    the seeding protocol (None for the first two sends)."""
+    from accflow_tpu import FlowPipeline
+    from accflow_tpu.ops.padding import InputPadder
+    from accflow_tpu.streaming import StreamAccumulator
+
+    est, acfg, ofe_params, acc_params, _ = setup
+    pipe = FlowPipeline(est, ofe_params, acc_params, acfg, iters=ITERS)
+    stream = pipe.stream(iters=ITERS)
+
+    rng = np.random.default_rng(2)
+    h, w = 36, 44  # pads to 40x48
+    u8 = rng.integers(0, 255, (5, h, w, 3), dtype=np.uint8)
+
+    assert stream.send(u8[0]) is None
+    assert stream.send(u8[1]) is None
+    outs = [stream.send(u8[i]) for i in range(2, 5)]
+    assert all(o.shape == (h, w, 2) for o in outs)
+
+    # Equals the raw StreamAccumulator on the padded normalized frames.
+    norm = 2.0 * (u8.astype(np.float32) / 255.0) - 1.0
+    padder = InputPadder((1, h, w, 3))
+    padded = np.stack([padder.pad_np(f[None]) for f in norm], axis=0)
+    acc = StreamAccumulator(est, acfg, ofe_params, acc_params)
+    want = [np.asarray(acc.reset(padded[:3]))]
+    want += [np.asarray(acc.push(padded[i])) for i in range(3, 5)]
+    for got, w_ in zip(outs, want):
+        np.testing.assert_allclose(
+            got, np.asarray(padder.unpad(w_))[0], rtol=1e-5, atol=1e-5
+        )
+
+
+def test_pair_streaming_matches_evaluate_sequence(setup):
+    import jax.numpy as jnp
+
+    from accflow_tpu.streaming import make_pair_streaming_fns
+    from accflow_tpu.train.evaluate import evaluate_sequence
+
+    est, _, ofe_params, _, frames = setup
+    want = np.asarray(
+        evaluate_sequence(est, ofe_params, jnp.asarray(frames), iters=ITERS,
+                          warm_start=True)
+    )
+    init_fn, step_fn = make_pair_streaming_fns(est, ofe_params)
+    out, state = init_fn(frames[0], frames[1])
+    got = [np.asarray(out)]
+    for i in range(2, T):
+        out, state = step_fn(state, frames[i])
+        got.append(np.asarray(out))
+    np.testing.assert_allclose(np.stack(got), want, rtol=1e-5, atol=1e-5)
