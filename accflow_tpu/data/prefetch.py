@@ -61,7 +61,11 @@ def device_prefetch(
 
     def put(batch):
         if transform is not None:
-            batch = transform(batch)
+            # The transform owns device placement (the engines' in_shard
+            # device_puts to a global batch sharding). A second bare
+            # device_put would be a no-op single-process but REJECTS
+            # non-fully-addressable global arrays on a multi-process mesh.
+            return transform(batch)
         if sharding is not None:
             return jax.device_put(batch, sharding)
         return jax.device_put(batch)

@@ -65,6 +65,46 @@ def maybe_init_distributed(logger=None) -> bool:
     return called
 
 
+def is_main_process() -> bool:
+    """True on the one process that owns host-side side effects (result
+    files, PNG dumps, log files, TensorBoard, run-dir archiving). The
+    reference is single-process so everything writes; on a pod every
+    process would otherwise append the same result lines and race the
+    archive renames (train_acc.py:39-45,283-301). Orbax checkpoint
+    saves stay UNGUARDED — they are collective (every process must
+    participate; orbax coordinates the writes itself)."""
+    return jax.process_index() == 0
+
+
+def sync_processes(tag: str = "sync") -> None:
+    """Barrier across processes (no-op single-process): keeps non-main
+    processes from touching a run dir while process 0 is still archiving
+    or creating it."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(tag)
+
+
+def host_array(x) -> np.ndarray:
+    """Global jax.Array -> full numpy value on EVERY process. Single
+    process this is np.asarray; multi-process, a batch-sharded output is
+    neither fully addressable nor fully replicated (np.asarray would
+    raise), so it is resharded to replicated first — a jitted identity
+    whose out_sharding makes GSPMD insert the all-gather. Engines use
+    this on per-sample metric vectors and visual-sample flows; every
+    process must call it at the same point (it is a collective)."""
+    if (
+        getattr(x, "is_fully_addressable", True)
+        or getattr(x.sharding, "is_fully_replicated", False)
+    ):
+        return np.asarray(x)
+    rep = jax.jit(
+        lambda a: a, out_shardings=NamedSharding(x.sharding.mesh, P())
+    )(x)
+    return np.asarray(rep)
+
+
 def make_mesh(
     n_data: Optional[int] = None,
     n_spatial: int = 1,

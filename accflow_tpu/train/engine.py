@@ -35,9 +35,12 @@ from accflow_tpu.models import build_flow_estimator
 from accflow_tpu.models.accflow import AccFlowConfig, accflow_forward, init_accflow
 from accflow_tpu.parallel.mesh import (
     batch_sharding,
+    host_array,
+    is_main_process,
     make_mesh,
     maybe_init_distributed,
     shard_params,
+    sync_processes,
 )
 from accflow_tpu.train.checkpoint import CheckpointManager
 from accflow_tpu.train.accum import microbatched_value_and_grad
@@ -191,6 +194,10 @@ def train_acc(opt, max_steps: int | None = None, tb=None):
     mesh = make_mesh()
     n_dev = mesh.devices.size
     batch = opt.batch_per_gpu * n_dev
+    # Host-side side effects (archiving, log files, PNGs, TB) belong to
+    # process 0 only; orbax checkpoint calls stay on every process (they
+    # are collective). Single-process this is all a no-op.
+    main = is_main_process()
 
     # Debug-name frequency override (train_acc.py:33-35).
     if "debug" in str(opt.exp_name).lower():
@@ -198,14 +205,17 @@ def train_acc(opt, max_steps: int | None = None, tb=None):
         opt["log_freq"] = 1
     log_dir = opt.get("log_dir", f"./logs/{opt.exp_name}")
     ckpt_dir = opt.get("ckpt_dir", f"./checkpoints/{opt.exp_name}")
-    if opt.get("resume") is None:
+    if opt.get("resume") is None and main:
         # Archive stale run dirs (train_acc.py:39-45) — logs AND checkpoints.
         for d in (log_dir, ckpt_dir):
             if osp.isdir(d):
                 os.rename(d, d + "_archived_" + get_timestamp())
-    os.makedirs(log_dir, exist_ok=True)
-    logger = setup_logger("accflow", log_dir, "train_" + opt.exp_name, tofile=True)
-    own_tb = tb is None and bool(opt.get("use_tb"))
+    sync_processes("archive_dirs")  # dirs settled before anyone writes
+    if main:
+        os.makedirs(log_dir, exist_ok=True)
+    logger = setup_logger("accflow", log_dir, "train_" + opt.exp_name,
+                          tofile=main)
+    own_tb = tb is None and bool(opt.get("use_tb")) and main
     if own_tb:
         from accflow_tpu.utils.tb import TBLogger
 
@@ -330,12 +340,12 @@ def train_acc(opt, max_steps: int | None = None, tb=None):
                     per_sample, flow_last = valid_step(
                         state.params, ofe_params, vb["imgs"], vb[flow_key]
                     )
-                    epes_sum += float(np.asarray(per_sample)[:n_valid].sum())
+                    epes_sum += float(host_array(per_sample)[:n_valid].sum())
                     base = epes_n
                     epes_n += n_valid
                     want = [i for i in visual if base <= i < base + n_valid]
                     if want:
-                        flow_np = np.asarray(flow_last)
+                        flow_np = host_array(flow_last)
                         for i in want:
                             val_last[i] = flow_np[i - base : i - base + 1]
                 epe = epes_sum / max(epes_n, 1)
@@ -343,7 +353,7 @@ def train_acc(opt, max_steps: int | None = None, tb=None):
                 if epe <= best_val_epe:
                     best_val_epe, best_val_step = epe, current_step
                     for index in visual:
-                        if index in val_last:
+                        if main and index in val_last:
                             save_flow_png(
                                 val_last[index],
                                 osp.join(log_dir, "val/im%03d/%06d.png" % (index, current_step)),

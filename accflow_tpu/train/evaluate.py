@@ -26,6 +26,7 @@ from accflow_tpu.data.prefetch import device_prefetch
 from accflow_tpu.models import build_flow_estimator
 from accflow_tpu.models.accflow import AccFlowConfig, accflow_forward, init_accflow
 from accflow_tpu.ops.occlusion import calc_occ_mask
+from accflow_tpu.parallel.mesh import host_array, is_main_process
 from accflow_tpu.train.engine import pad_batch, to_clip, to_flow_seq
 
 
@@ -199,9 +200,9 @@ def evaluate_cvo(
                 params, acc_params, mb["imgs"], mb["bflows"], mb["fflows"]
             )
             nv = min(n_valid - m0, micro_batch)
-            alls.append(np.asarray(epe_all)[:nv])
-            occs.append(np.asarray(epe_occ)[:nv])
-            viss.append(np.asarray(epe_vis)[:nv])
+            alls.append(host_array(epe_all)[:nv])
+            occs.append(host_array(epe_occ)[:nv])
+            viss.append(host_array(epe_vis)[:nv])
 
     result = {
         "all": float(np.mean(np.concatenate(alls))),
@@ -211,11 +212,15 @@ def evaluate_cvo(
     line = "AVG EPE %s: \nall:%.4f vis:%.4f occ:%.4f \n\n" % (
         model_name, result["all"], result["vis"], result["occ"],
     )
-    print(line.strip())
-    if result_file is None:
-        result_file = f"test_result_{split}_E{end}.txt"
-    with open(result_file, "a+") as f:
-        f.write(line)
+    # Process 0 owns the result file and console line (every process
+    # computes identical global metrics; appending from all of them
+    # would duplicate rows — test_cvo.py:157-166 is single-process).
+    if is_main_process():
+        print(line.strip())
+        if result_file is None:
+            result_file = f"test_result_{split}_E{end}.txt"
+        with open(result_file, "a+") as f:
+            f.write(line)
     return result
 
 
@@ -367,8 +372,9 @@ def evaluate_sintel(
     line = "AVG EPE sintel %s interv=%d: \nall:%.4f noc:%.4f occ:%.4f \n\n" % (
         model_name, interv, result["all"], result["noc"], result["occ"],
     )
-    print(line.strip())
-    if result_file:
-        with open(result_file, "a+") as f:
-            f.write(line)
+    if is_main_process():
+        print(line.strip())
+        if result_file:
+            with open(result_file, "a+") as f:
+                f.write(line)
     return result

@@ -36,9 +36,12 @@ from accflow_tpu.nn.layers import apply_bn_updates, bn_buffer_mask, collect_bn_u
 from accflow_tpu.train.accum import microbatched_value_and_grad
 from accflow_tpu.parallel.mesh import (
     batch_sharding,
+    host_array,
+    is_main_process,
     make_mesh,
     maybe_init_distributed,
     shard_params,
+    sync_processes,
 )
 from accflow_tpu.train.checkpoint import CheckpointManager
 from accflow_tpu.train.engine import TrainState, pad_batch, reference_noise
@@ -127,7 +130,7 @@ def run_validation(valid_step, state_params, valid_dst, batch, in_shard, valid_s
         vb = in_shard(vb)
         per_sample, _ = valid_step(state_params, vb["imgs"], vb["bflows"])
         n_use = min(n_valid, cap - epes_n)
-        epes_sum += float(np.asarray(per_sample)[:n_use].sum())
+        epes_sum += float(host_array(per_sample)[:n_use].sum())
         epes_n += n_use
         if epes_n >= cap:
             break
@@ -150,16 +153,22 @@ def fine_tune(opt, max_steps: int | None = None, tb=None):
     if "debug" in str(opt.exp_name).lower():
         opt["valid_freq"] = 10
         opt["log_freq"] = 1
+    # Side-effect ownership: see train_acc (process 0 writes; checkpoint
+    # calls are collective and stay on every process).
+    main = is_main_process()
     log_dir = opt.get("log_dir", f"./logs/{opt.exp_name}")
     ckpt_dir = opt.get("ckpt_dir", f"./checkpoints/{opt.exp_name}")
-    if opt.get("resume") is None:
+    if opt.get("resume") is None and main:
         # Archive stale run dirs (train_acc.py:39-45) — logs AND checkpoints.
         for d in (log_dir, ckpt_dir):
             if osp.isdir(d):
                 os.rename(d, d + "_archived_" + get_timestamp())
-    os.makedirs(log_dir, exist_ok=True)
-    logger = setup_logger("accflow_ft", log_dir, "finetune_" + opt.exp_name, tofile=True)
-    own_tb = tb is None and bool(opt.get("use_tb"))
+    sync_processes("archive_dirs")
+    if main:
+        os.makedirs(log_dir, exist_ok=True)
+    logger = setup_logger("accflow_ft", log_dir, "finetune_" + opt.exp_name,
+                          tofile=main)
+    own_tb = tb is None and bool(opt.get("use_tb")) and main
     if own_tb:
         from accflow_tpu.utils.tb import TBLogger
 

@@ -214,6 +214,81 @@ def test_two_process_distributed_train_step():
 
 
 @pytest.mark.slow
+def test_two_process_train_acc_engine(tmp_path):
+    """2-process ENGINE soak (VERDICT r3 #3): the real train_acc engine —
+    validation, EPE aggregation, PNG dumps, orbax latest/best/final
+    checkpointing into a SHARED directory — runs 2 steps under
+    jax.distributed with 4 global devices. Asserts the side-effect
+    ownership contract: process 0 writes exactly one log file and the
+    visual PNGs; both processes participate in the collective checkpoint
+    saves; final params agree across processes (tests/_dist_engine_child.py)."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    from accflow_tpu.data.synthetic import write_synthetic_cvor
+
+    data_root = str(tmp_path / "cvor")
+    run_root = str(tmp_path / "run")
+    write_synthetic_cvor(data_root, num_train=8, num_test=2, h=64, w=64)
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(
+        os.environ,
+        JAX_COORDINATOR_ADDRESS=f"localhost:{port}",
+        JAX_NUM_PROCESSES="2",
+        XLA_FLAGS="--xla_force_host_platform_device_count=2",
+        JAX_PLATFORMS="cpu",
+        DIST_DATA=data_root,
+        DIST_RUN=run_root,
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(repo, "tests", "_dist_engine_child.py")],
+            env=dict(env, JAX_PROCESS_ID=str(i)),
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            cwd=repo,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=900)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {i} failed:\n{out}"
+        assert "ENGINE_OK step=2" in out, f"process {i} output:\n{out}"
+
+    # Replicated params agree across processes after 2 psum'd steps.
+    sums = [
+        line.split("checksum=")[1].strip()
+        for out in outs for line in out.splitlines() if "ENGINE_OK" in line
+    ]
+    assert len(sums) == 2 and sums[0] == sums[1], sums
+
+    # Side-effect ownership: ONE log file (process 0's), the visual PNG
+    # written once, and the shared checkpoint tree holding latest+final.
+    logs = [f for f in os.listdir(os.path.join(run_root, "logs"))
+            if f.endswith(".log")]
+    assert len(logs) == 1, logs
+    png_dir = os.path.join(run_root, "logs", "val", "im000")
+    assert os.path.isdir(png_dir) and os.listdir(png_dir)
+    for sub in ("latest", "final"):
+        d = os.path.join(run_root, "ckpt", sub)
+        assert os.path.isdir(d) and os.listdir(d), sub
+
+
+@pytest.mark.slow
 def test_sharded_acc_train_step_matches_unsharded(cpu_devices):
     """ONE full accumulator training step (fwd + bwd + AdamW update) with
     the batch sharded over the 8-device data axis == unsharded execution:
