@@ -108,6 +108,31 @@ def is_ondemand(lookup_impl: str) -> bool:
     return lookup_impl.split(":", 1)[0] == "ondemand"
 
 
+# The supported corr_lookup API (see README): everything else in the
+# dispatch is a recorded experiment from the adjudication matrix
+# (PARITY.md "Performance exploration matrix") — measured losers kept
+# in-tree as evidence, reachable only behind an explicit prefix.
+LIVE_LOOKUPS = ("fused", "mm", "auto", "pallas_fused")
+
+
+def normalize_corr_lookup(lookup_impl: str) -> str:
+    """API fence for the lookup-variant surface: live spellings
+    (fused | mm | ondemand[:chunk] | auto | pallas_fused) pass through;
+    adjudicated experimental variants need an 'experimental:' prefix
+    (e.g. 'experimental:packed2', 'experimental:fused_mix:mm,vpu_y,...')
+    so nobody ships a measured-loser path by accident."""
+    if lookup_impl.startswith("experimental:"):
+        return lookup_impl.split(":", 1)[1]
+    if lookup_impl in LIVE_LOOKUPS or is_ondemand(lookup_impl):
+        return lookup_impl
+    raise ValueError(
+        f"corr_lookup={lookup_impl!r} is an adjudicated experimental "
+        "variant (PARITY.md 'Performance exploration matrix'), not a "
+        f"supported impl — spell it 'experimental:{lookup_impl}' to opt "
+        "in. Supported: fused | mm | ondemand[:chunk] | auto | pallas_fused"
+    )
+
+
 # Stored-volume budget for corr_lookup="auto": above this many bytes of
 # correlation volume (all levels, whole batch, as laid out in HBM) the
 # volume-free ondemand mode is selected. 4 GB leaves room on a 16 GB

@@ -380,3 +380,47 @@ def test_serving_export_polymorphic_batch(tmp_path, rng):
         export_serving(est_gauto, acfg, ofe_params,
                        init_accflow(jax.random.PRNGKey(1), acfg),
                        (3, None, 32, 32, 3))
+
+
+def test_corr_lookup_experimental_fence(rng):
+    """Supported corr_lookup spellings pass through; adjudicated-loser
+    experiment variants (PARITY.md matrix) need an 'experimental:' prefix
+    and still run equivalently under it (ops/corr.py::normalize_corr_lookup)."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from accflow_tpu.models import build_flow_estimator
+    from accflow_tpu.ops.corr import normalize_corr_lookup
+
+    for live in ("fused", "mm", "auto", "pallas_fused", "ondemand",
+                 "ondemand:16"):
+        assert normalize_corr_lookup(live) == live
+    assert normalize_corr_lookup("experimental:packed2") == "packed2"
+    assert (
+        normalize_corr_lookup("experimental:fused_mix:mm,vpu_y,vpu_y,mm")
+        == "fused_mix:mm,vpu_y,vpu_y,mm"
+    )
+    for loser in ("packed2", "fused_vy", "rows", "fused_mix:mm,mm,mm,mm"):
+        with pytest.raises(ValueError, match="experimental"):
+            normalize_corr_lookup(loser)
+
+    i1 = jnp.asarray(rng.uniform(-1, 1, (1, 64, 64, 3)).astype(np.float32))
+    i2 = jnp.asarray(rng.uniform(-1, 1, (1, 64, 64, 3)).astype(np.float32))
+    est = build_flow_estimator("raft", compute_dtype="float32", iters=2)
+    params = est.init(jax.random.PRNGKey(0))
+    want = est.forward(params, i1, i2)["flow_up"]
+
+    est_bad = build_flow_estimator(
+        "raft", compute_dtype="float32", iters=2, corr_lookup="packed2"
+    )
+    with pytest.raises(ValueError, match="experimental"):
+        est_bad.forward(params, i1, i2)
+
+    est_exp = build_flow_estimator(
+        "raft", compute_dtype="float32", iters=2,
+        corr_lookup="experimental:packed2",
+    )
+    got = est_exp.forward(params, i1, i2)["flow_up"]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
