@@ -90,13 +90,72 @@ def parse_ref_results(path: str):
     return rows
 
 
+def make_dryrun_standins(out_dir: str, grid):
+    """CI stand-ins for the real artifacts (--dry_run): a tiny synthetic
+    CVOR test set, a random-init .pth zoo saved through the REFERENCE
+    torch models (so the converter exercises the real state_dict layouts,
+    incl. GMA and acc+GMA), and fabricated reference result files in
+    test_cvo.sh order. Returns (cvor_root, ckpt_dir, ref_clean, ref_final).
+    Needs torch and /root/reference on this machine."""
+    sys.path.insert(0, osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))),
+                                "tests"))
+    import _torch_ref  # noqa: F401 — reference sys.path + torchvision stub
+    import torch
+    from networks.AccFlow_ import AccFlow
+    from networks.gma.gma import RAFTGMA
+    from networks.raft.raft import RAFT
+
+    from accflow_tpu.data.synthetic import write_synthetic_cvor
+
+    cvor_root = osp.join(out_dir, "cvor")
+    if not osp.isdir(osp.join(cvor_root, "test")):
+        write_synthetic_cvor(cvor_root, num_train=1, num_test=2, h=64, w=64)
+
+    ckpt_dir = osp.join(out_dir, "ckpts")
+    os.makedirs(ckpt_dir, exist_ok=True)
+    torch.manual_seed(0)
+    models = {}
+    need = {(acc, ofe, ck) for (_, acc, ofe, ck) in grid}
+    for acc, ofe, ck in sorted(need):
+        path = ckpt_path(ckpt_dir, acc, ofe, ck)
+        if osp.isfile(path):
+            continue
+        if ofe not in models:
+            if ofe == "raft":
+                import argparse as _ap
+
+                models[ofe] = RAFT(_ap.Namespace(
+                    small=False, mixed_precision=False)).eval()
+            else:
+                import argparse as _ap
+
+                models[ofe] = RAFTGMA(_ap.Namespace(
+                    num_heads=1, mixed_precision=False,
+                    position_only=False, position_and_content=False)).eval()
+        model = models[ofe]
+        if acc == "acc":
+            model = AccFlow(models[ofe]).eval()
+        torch.save(model.state_dict(), path)
+
+    refs = {}
+    for split in ("clean", "final"):
+        path = osp.join(out_dir, f"ref_{split}.txt")
+        with open(path, "w") as f:
+            for g in [g for g in GRID if g[0] == split]:
+                f.write("AVG EPE %s|%s: \n" % (g[1], g[2]))
+                f.write("all:%.4f vis:%.4f occ:%.4f \n\n" % (3.0, 2.0, 9.0))
+        refs[split] = path
+    return cvor_root, ckpt_dir, refs["clean"], refs["final"]
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     p.add_argument("--lmdb", help="path to cvo_test.lmdb (skipped if "
                    "--cvor_root already exists)")
     p.add_argument("--cvor_root", default=None,
                    help="CVOR root (default <out>/cvor; must contain test/)")
-    p.add_argument("--ckpt_dir", required=True)
+    p.add_argument("--ckpt_dir", default=None,
+                   help="released .pth zoo (required unless --dry_run)")
     p.add_argument("--out", default="parity_out")
     p.add_argument("--ref_clean", default=None,
                    help="reference test_result_clean_E6.txt for side-by-side")
@@ -111,13 +170,30 @@ def main(argv=None):
     p.add_argument("--rows", default=None,
                    help="comma-separated GRID row indices (0-15) to run "
                    "(smoke runs); default all 16")
+    p.add_argument("--dry_run", action="store_true",
+                   help="CI wiring check: run the FULL grid against "
+                   "synthetic stand-ins (tiny CVOR, random-init .pth zoo "
+                   "saved through the reference torch models, fabricated "
+                   "ref files) so flag drift in evaluate/converter cannot "
+                   "rot the one-command path. Forces tiny batch/iters; "
+                   "needs torch + /root/reference")
     args = p.parse_args(argv)
+    if not args.dry_run and not args.ckpt_dir:
+        p.error("--ckpt_dir is required (unless --dry_run)")
 
     grid = (
         [GRID[int(i)] for i in args.rows.split(",")] if args.rows else GRID
     )
 
     os.makedirs(args.out, exist_ok=True)
+    if args.dry_run:
+        cvor, ckd, refc, reff = make_dryrun_standins(args.out, grid)
+        args.cvor_root = args.cvor_root or cvor
+        args.ckpt_dir = args.ckpt_dir or ckd
+        args.ref_clean = args.ref_clean or refc
+        args.ref_final = args.ref_final or reff
+        args.batch, args.iters = min(args.batch, 2), min(args.iters, 2)
+        args.compute_dtype = "float32"
     cvor_root = args.cvor_root or osp.join(args.out, "cvor")
 
     # 1. LMDB -> CVOR (once).
