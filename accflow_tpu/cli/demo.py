@@ -118,11 +118,42 @@ def save_flow(out_dir, name, flow, viz: bool):
         )
 
 
+def run_streaming_artifact(args):
+    """Unbounded long-range inference through a STREAMING artifact
+    (export_serving --streaming): frames are fed one at a time; the
+    padded frame size must match the export."""
+    from accflow_tpu.api import FlowPipeline
+
+    stream = FlowPipeline.from_streaming_artifact(args.artifact,
+                                                  normalized=True)
+    files = collect_frames(args.frames)
+    frames = load_frames(files)
+    os.makedirs(args.out, exist_ok=True)
+    stem = lambda i: osp.splitext(osp.basename(files[i]))[0]
+    n_out = 0
+    for i in range(frames.shape[0]):
+        out = stream.send(frames[i])
+        if out is None:
+            continue
+        save_flow(args.out, f"{stem(i)}_to_{stem(0)}", out[0],
+                  viz=not args.no_viz)
+        n_out += 1
+    print(f"[demo] wrote {n_out} streamed long-range flows to {args.out} "
+          f"(streaming artifact {args.artifact})")
+
+
 def run_artifact(args):
     """Long-range inference through a serialized serving artifact
     (api.ArtifactPipeline: exactly T frames are consumed — extras are
-    reported and dropped — and the frame size must match the export)."""
+    reported and dropped — and the frame size must match the export).
+    Streaming artifacts (export_serving --streaming) are detected by
+    magic and routed to the per-frame surface."""
     from accflow_tpu.api import ArtifactPipeline
+    from accflow_tpu.streaming import _MAGIC
+
+    with open(args.artifact, "rb") as f:
+        if f.read(len(_MAGIC)) == _MAGIC:
+            return run_streaming_artifact(args)
 
     pipe = ArtifactPipeline(args.artifact)
     t = pipe.clip_shape[0]
@@ -166,11 +197,19 @@ def main(argv=None):
                         help="max frames to extract from --video "
                         "(default 7, one reference clip)")
     parser.add_argument("--out", type=str, default="./demo_out")
-    parser.add_argument("--mode", type=str, choices=["pairs", "long"],
+    parser.add_argument("--mode", type=str,
+                        choices=["pairs", "long", "stream"],
                         default="pairs",
                         help="pairs: consecutive-pair flows f_{i->i+1}; "
                         "long: accumulated long-range flows F_{i->0} "
-                        "(needs --acc_ckpt weights and >= 3 frames)")
+                        "(needs --acc_ckpt weights and >= 3 frames); "
+                        "stream: the same long-range flows through the "
+                        "STATEFUL per-frame surface (FlowPipeline.stream "
+                        "— warm-started, state on device, unbounded "
+                        "stream length)")
+    parser.add_argument("--stream_iters", type=int, default=6,
+                        help="stream mode: OFE iterations per step "
+                        "(default 6 — the warm-start serving count)")
     parser.add_argument("--ofe", type=str, choices=["raft", "gma"],
                         default="raft")
     parser.add_argument("--ofe_ckpt", type=str, default=None)
@@ -224,12 +263,13 @@ def main(argv=None):
 
     from accflow_tpu.api import FlowPipeline
 
-    if args.mode == "long" and not args.acc_ckpt:
+    long_like = args.mode in ("long", "stream")
+    if long_like and not args.acc_ckpt:
         print("[demo] WARNING: no --acc_ckpt; using random weights")
     if args.mode == "pairs" and not args.ofe_ckpt:
         print("[demo] WARNING: no --ofe_ckpt; using random weights")
     pipe = FlowPipeline.from_checkpoint(
-        f"acc+{args.ofe}" if args.mode == "long" else args.ofe,
+        f"acc+{args.ofe}" if long_like else args.ofe,
         ofe_ckpt=args.ofe_ckpt, acc_ckpt=args.acc_ckpt,
         compute_dtype=args.compute_dtype, iters=args.iters,
         corr_lookup=args.corr_lookup, attn_chunk=args.attn_chunk,
@@ -238,7 +278,22 @@ def main(argv=None):
     os.makedirs(args.out, exist_ok=True)
     stem = lambda i: osp.splitext(osp.basename(files[i]))[0]
 
-    if args.mode == "long":
+    if args.mode == "stream":
+        if t < 3:
+            raise SystemExit("stream mode needs >= 3 frames (got "
+                             f"{t}; accumulation starts at F_{{2->0}})")
+        stream = pipe.stream(iters=args.stream_iters, normalized=True)
+        n_out = 0
+        for i in range(t):
+            out = stream.send(frames[i])
+            if out is None:
+                continue
+            save_flow(args.out, f"{stem(i)}_to_{stem(0)}", out[0],
+                      viz=not args.no_viz)
+            n_out += 1
+        print(f"[demo] wrote {n_out} streamed long-range flows to "
+              f"{args.out} ({args.stream_iters} iters/step, warm-started)")
+    elif args.mode == "long":
         if t < 3:
             raise SystemExit("long mode needs >= 3 frames (got "
                              f"{t}; accumulation starts at F_{{2->0}})")

@@ -189,3 +189,41 @@ def test_demo_rejects_single_frame(tmp_path):
     Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(d / "a.png")
     with pytest.raises(SystemExit):
         collect_frames([str(d)])
+
+
+def test_demo_stream_mode(frame_dir, tmp_path):
+    """--mode stream: the stateful per-frame surface writes the same
+    F_{i,0} names as long mode (warm-started, reduced iters)."""
+    from accflow_tpu.cli.demo import main
+
+    out = str(tmp_path / "out_stream")
+    main(["--frames", frame_dir, "--out", out, "--mode", "stream",
+          "--stream_iters", "2", "--compute-dtype", "float32"])
+    flow = _read(out, "frame_002_to_frame_000.flo")
+    assert flow.shape == (36, 44, 2) and np.isfinite(flow).all()
+
+
+def test_demo_streaming_artifact_mode(frame_dir, tmp_path):
+    """--artifact routes streaming artifacts (magic-sniffed) to the
+    per-frame surface with no model code."""
+    import jax
+
+    from accflow_tpu.cli.demo import main
+    from accflow_tpu.models import build_flow_estimator
+    from accflow_tpu.models.accflow import AccFlowConfig, init_accflow
+    from accflow_tpu.streaming import export_streaming, save_streaming_artifact
+
+    est = build_flow_estimator("raft", compute_dtype="float32", iters=2)
+    acfg = AccFlowConfig(compute_dtype="float32", warm_start=True)
+    ofe_params = est.init(jax.random.PRNGKey(0))
+    acc_params = init_accflow(jax.random.PRNGKey(1), acfg)
+    path = str(tmp_path / "stream.sflows")
+    init_exp, step_exp = export_streaming(
+        est, acfg, ofe_params, acc_params, (1, 40, 48)  # padded 36x44
+    )
+    save_streaming_artifact(path, init_exp, step_exp)
+
+    out = str(tmp_path / "out_sart")
+    main(["--frames", frame_dir, "--out", out, "--artifact", path])
+    flow = _read(out, "frame_002_to_frame_000.flo")
+    assert flow.shape == (36, 44, 2) and np.isfinite(flow).all()
