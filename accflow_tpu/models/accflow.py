@@ -57,8 +57,10 @@ class AccFlowConfig:
     compute_dtype: str = "bfloat16"
     # Rematerialize each accumulation cell in the backward pass (trade
     # FLOPs for HBM) — lets the training batch scale past what storing all
-    # five cells' activations allows.
-    remat: bool = False
+    # five cells' activations allows. True/"full" recomputes the whole
+    # cell from the carry; "dots" (jax.checkpoint_policies.checkpoint_dots)
+    # keeps matmul/conv outputs and recomputes only the elementwise glue.
+    remat: "bool | str" = False
     # Fuse every OFE query of the clip into ONE batched estimator call.
     # The 2(T-2)+1 pair flows are independent of the recurrence
     # (AccFlow_.py:182-190 queries them stepwise under no_grad), so
@@ -214,6 +216,21 @@ def init_accflow(key: jax.Array, cfg: AccFlowConfig = AccFlowConfig()) -> Params
 OfeFn = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
 # OfeFn(image1_batch, image2_batch) -> full-res flow batch (float32), i.e. a
 # closed-over frozen flow estimator (RAFT or GMA forward returning flow_up).
+
+
+def _remat_wrap(fn, remat, **ckpt_kwargs):
+    """Apply AccFlowConfig.remat to a cell/body function: False = off,
+    True/"full" = save-nothing jax.checkpoint, "dots" = keep matmul/conv
+    outputs (checkpoint_dots policy), recompute elementwise glue."""
+    if not remat:
+        return fn
+    if remat is True or remat == "full":
+        return jax.checkpoint(fn, **ckpt_kwargs)
+    if remat == "dots":
+        return jax.checkpoint(
+            fn, policy=jax.checkpoint_policies.checkpoint_dots, **ckpt_kwargs
+        )
+    raise ValueError(f"remat must be bool|'full'|'dots', got {remat!r}")
 
 
 def _cell_from_ctx(
@@ -422,9 +439,7 @@ def _accflow_forward_f0n(
     if t == 3:
         return out0[None]
 
-    cell_fn = _cell_modules
-    if cfg.remat:
-        cell_fn = jax.checkpoint(_cell_modules, static_argnums=(7,))
+    cell_fn = _remat_wrap(_cell_modules, cfg.remat, static_argnums=(7,))
 
     def step(carry, frames):
         I2, In = frames  # frames i-1, i
@@ -526,8 +541,7 @@ def _accflow_forward_f0n_fused(
         out_small, out = flow_decoder(params["flow_decoder"], f_fuse)
         return out_small.astype(jnp.float32), out.astype(jnp.float32)
 
-    if cfg.remat:
-        cell = jax.checkpoint(cell)
+    cell = _remat_wrap(cell, cfg.remat)
 
     _, outs = lax.scan(
         cell, seed, (f_dirs, f_locs, emap, ctx32[1:-1]),
@@ -618,8 +632,7 @@ def _accflow_forward_fused(
         out_small, out = flow_decoder(params["flow_decoder"], f_fuse)
         return out_small.astype(jnp.float32), out.astype(jnp.float32)
 
-    if cfg.remat:
-        cell = jax.checkpoint(cell)
+    cell = _remat_wrap(cell, cfg.remat)
 
     _, outs = lax.scan(
         cell, seed, (f_inis, dfs, o, emap, ctx[2:]),
@@ -665,9 +678,7 @@ def accflow_forward(
         return _accflow_forward_fused(params, ofe, images, cfg, ofe_pairs)
 
     In = images[0]
-    cell = _accflow_cell
-    if cfg.remat:
-        cell = jax.checkpoint(_accflow_cell, static_argnums=(1, 6))
+    cell = _remat_wrap(_accflow_cell, cfg.remat, static_argnums=(1, 6))
 
     # First step (i=2): OFE also estimates the seed flow F_{1,0}.
     flow, out0 = cell(params, ofe, images[2], images[1], In, None, cfg)

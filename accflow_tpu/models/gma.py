@@ -33,6 +33,7 @@ from jax import lax
 from accflow_tpu.models.encoders import basic_encoder, init_basic_encoder
 from accflow_tpu.models.raft import (
     RAFTConfig,
+    apply_scan_remat,
     basic_motion_encoder,
     basic_motion_encoder_split,
     basic_motion_encoder_stacked,
@@ -93,6 +94,9 @@ class GMAConfig:
     corr_lookup: str = "fused"
     # GRU-iteration lax.scan unroll factor (see RAFTConfig.scan_unroll).
     scan_unroll: int = 1
+    # Remat policy for the GRU scan body under grad (none|dots|full — see
+    # RAFTConfig.scan_remat).
+    scan_remat: str = "none"
     # Chunked on-demand attention: 0 stores the full (HW, HW) softmaxed
     # attention matrix once per pair (the reference's layout, gma.py:96);
     # >0 keeps only q/k and recomputes softmax(q_c k^T) v per query chunk
@@ -613,8 +617,8 @@ def gma_iterate(
         return (net, coords1), flow_up
 
     (net, coords1), flows_up = lax.scan(
-        step, (net, coords1), None, length=iters,
-        unroll=min(cfg.scan_unroll, iters),
+        apply_scan_remat(step, cfg.scan_remat), (net, coords1), None,
+        length=iters, unroll=min(cfg.scan_unroll, iters),
     )
 
     if final_only:

@@ -79,6 +79,15 @@ class RAFTConfig:
     # attributes ~7 ms/step to while-loop boundary slice/copy ops; unrolling
     # trades compile time for their removal + cross-iteration fusion.
     scan_unroll: int = 1
+    # Rematerialization policy for the GRU scan body under grad (the
+    # fine-tune path — the only place the backward runs through this
+    # scan). "none" lets XLA stack every per-iteration intermediate for
+    # the backward (the r4 fine-tune trace attributes ~39 ms/step, 25%,
+    # to that raft.py:638 dus/copy traffic); "dots" saves only matmul/conv
+    # outputs (jax.checkpoint_policies.checkpoint_dots) and recomputes the
+    # elementwise glue; "full" saves nothing but the carry. No effect on
+    # inference (checkpoint is an identity without differentiation).
+    scan_remat: str = "none"
     # Space-to-depth stem: run the 7x7/2 stem as an exact 4x4/1 conv on
     # 2x2-folded input (12 channels instead of 3 on the MXU contraction).
     stem_s2d: bool = False
@@ -484,6 +493,29 @@ def raft_forward(
     )
 
 
+def apply_scan_remat(step, scan_remat: str):
+    """Wrap a lax.scan body in jax.checkpoint per the scan_remat knob.
+
+    Under grad, lax.scan stacks every intermediate the backward needs via
+    per-iteration dynamic-update-slices (the r4 fine-tune trace puts that
+    boundary traffic at ~25% of the step). "dots" keeps matmul/conv
+    outputs and recomputes elementwise glue; "full" recomputes the whole
+    body from the carry. prevent_cse=False is safe (and free) inside scan.
+    """
+    if scan_remat == "none":
+        return step
+    if scan_remat == "full":
+        return jax.checkpoint(step, prevent_cse=False)
+    if scan_remat == "dots":
+        return jax.checkpoint(
+            step, prevent_cse=False,
+            policy=jax.checkpoint_policies.checkpoint_dots,
+        )
+    raise ValueError(
+        f"scan_remat must be none|dots|full, got {scan_remat!r}"
+    )
+
+
 def raft_iterate(
     params: Params,
     pyramid,
@@ -636,8 +668,8 @@ def raft_iterate(
         return (net, coords1), flow_up
 
     (net, coords1), flows_up = lax.scan(
-        step, (net, coords1), None, length=iters,
-        unroll=min(cfg.scan_unroll, iters),
+        apply_scan_remat(step, cfg.scan_remat), (net, coords1), None,
+        length=iters, unroll=min(cfg.scan_unroll, iters),
     )
 
     if final_only:

@@ -99,7 +99,7 @@ def build_acc_model(opt):
     )
     acfg = AccFlowConfig(
         compute_dtype=cd,
-        remat=bool(opt.get("remat", False)),
+        remat=opt.get("remat", False),  # False | "full"/true | "dots"
         direction=opt.get("direction", "backward"),
     )
     return est, acfg

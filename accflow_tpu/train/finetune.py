@@ -188,6 +188,12 @@ def fine_tune(opt, max_steps: int | None = None, tb=None):
     est = build_flow_estimator(
         opt.exp_name, compute_dtype=opt.get("compute_dtype", "bfloat16"),
         scan_unroll=int(opt.get("scan_unroll", 1)),
+        # dots: save matmul/conv outputs across the GRU scan, recompute the
+        # elementwise glue in the backward — measured 17% faster than
+        # XLA's stack-everything default on the fine-tune step (PARITY.md
+        # "Fine-tune step trace"); gradients are exact
+        # (tests/test_training.py::test_scan_remat_grads_match).
+        scan_remat=opt.get("scan_remat", "dots"),
         corr_lookup=opt.get("corr_lookup", "fused"),
         attn_chunk=int(opt.get("attn_chunk", 0)),
     )

@@ -32,7 +32,10 @@ def main():
     from accflow_tpu.train.optim import make_optimizer
 
     est = build_flow_estimator(
-        os.environ.get("BENCH_OFE", "raft"), compute_dtype="bfloat16"
+        os.environ.get("BENCH_OFE", "raft"), compute_dtype="bfloat16",
+        scan_unroll=int(os.environ.get("BENCH_UNROLL", "1")),
+        scan_remat=os.environ.get("BENCH_REMAT", "dots"),
+        corr_lookup=os.environ.get("BENCH_LOOKUP", "fused"),
     )
     params = est.init(jax.random.PRNGKey(0))
     tx, _ = make_optimizer(lr=1e-4, num_steps=1000, wdecay=1e-5, clip=1.0)

@@ -44,6 +44,8 @@ def main():
         # BENCH_ACC_UNROLL: unroll the 5-cell accumulation scan (the
         # differentiated one; its boundary ops trace at ~26 ms/step).
         acc_unroll=int(os.environ.get("BENCH_ACC_UNROLL", "1")),
+        # BENCH_ACC_REMAT: "" off, "full", or "dots" (cell remat policy).
+        remat=os.environ.get("BENCH_ACC_REMAT", "") or False,
     )
     ofe_params = est.init(jax.random.PRNGKey(0))
     acc_params = init_accflow(jax.random.PRNGKey(1), acfg)

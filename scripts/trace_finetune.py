@@ -38,6 +38,7 @@ def run_traced():
     est = build_flow_estimator(
         os.environ.get("BENCH_OFE", "raft"), compute_dtype="bfloat16",
         scan_unroll=int(os.environ.get("BENCH_UNROLL", "1")),
+        scan_remat=os.environ.get("BENCH_REMAT", "dots"),
         corr_lookup=os.environ.get("BENCH_LOOKUP", "fused"),
     )
     params = est.init(jax.random.PRNGKey(0))

@@ -198,12 +198,53 @@ def test_accflow_remat_grads_match(rng):
         return jnp.abs(outs).mean()
 
     cfg0 = AccFlowConfig(compute_dtype="float32", remat=False)
-    cfg1 = AccFlowConfig(compute_dtype="float32", remat=True)
     params = init_accflow(jax.random.PRNGKey(1), cfg0)
     g0 = jax.grad(loss)(params, cfg0)
-    g1 = jax.grad(loss)(params, cfg1)
-    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+    for remat in (True, "full", "dots"):
+        cfg1 = AccFlowConfig(compute_dtype="float32", remat=remat)
+        g1 = jax.grad(loss)(params, cfg1)
+        for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+            )
+
+
+def test_scan_remat_grads_match(rng):
+    """scan_remat=dots|full must not change the fine-tune gradients —
+    jax.checkpoint on the GRU scan body only changes what the backward
+    saves vs recomputes (models/raft.py::apply_scan_remat)."""
+    import jax.numpy as jnp
+
+    from accflow_tpu.models import build_flow_estimator
+    from accflow_tpu.train.loss import sequence_loss_raft
+
+    img1 = jnp.asarray(rng.uniform(-1, 1, (1, 64, 64, 3)).astype(np.float32))
+    img2 = jnp.asarray(rng.uniform(-1, 1, (1, 64, 64, 3)).astype(np.float32))
+    label = jnp.asarray(
+        rng.uniform(-3, 3, (1, 64, 64, 2)).astype(np.float32)
+    )
+
+    for name in ("raft", "gma"):
+        grads = {}
+        for remat in ("none", "dots", "full"):
+            est = build_flow_estimator(
+                name, compute_dtype="float32", scan_remat=remat
+            )
+            params = est.init(jax.random.PRNGKey(0))
+
+            def loss(p):
+                out = est.forward(p, img1, img2, iters=3, train=True)
+                l, _ = sequence_loss_raft(out["predictions"], label, 0.85)
+                return l
+
+            grads[remat] = jax.grad(loss)(params)
+        for remat in ("dots", "full"):
+            for a, b in zip(
+                jax.tree.leaves(grads["none"]), jax.tree.leaves(grads[remat])
+            ):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+                )
 
 
 def test_train_acc_resume_auto(tmp_path):
