@@ -116,12 +116,29 @@ def conv2d(
 
 def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     """Per-(sample, channel) normalization over H, W; no affine (torch
-    InstanceNorm2d defaults). Stats in float32 for bf16 inputs."""
-    xf = x.astype(jnp.float32)
-    mean = xf.mean(axis=(1, 2), keepdims=True)
-    var = xf.var(axis=(1, 2), keepdims=True)
-    out = (xf - mean) * lax.rsqrt(var + eps)
-    return out.astype(x.dtype)
+    InstanceNorm2d defaults). Stats in float32 for bf16 inputs.
+
+    float32 inputs take the exact two-pass torch-parity path. For bf16
+    inputs the f32 materialization of the activations is the cost (XLA
+    keeps the shared cast as a real f32 buffer plus bf16<->f32 tile
+    relayout copies — ~13% of the streaming serving step, trace r4), so
+    the stats use convert-fused f32 reductions (one-pass var) and the
+    normalize stays in bf16 arithmetic: 3x faster on the dominant
+    256^2x64 encoder stage (scripts/micro_inorm.py; 4.68 -> 1.55 ms per
+    conv-norm-relu chain), output drift within bf16 rounding
+    (tests/test_ops_golden.py::test_instance_norm_bf16_close_to_f32)."""
+    if x.dtype == jnp.float32:
+        mean = x.mean(axis=(1, 2), keepdims=True)
+        var = x.var(axis=(1, 2), keepdims=True)
+        return (x - mean) * lax.rsqrt(var + eps)
+    mean = jnp.mean(x, axis=(1, 2), keepdims=True, dtype=jnp.float32)
+    meansq = jnp.mean(
+        jnp.square(x.astype(jnp.float32)),
+        axis=(1, 2), keepdims=True, dtype=jnp.float32,
+    )
+    var = jnp.maximum(meansq - jnp.square(mean), 0.0)
+    scale = lax.rsqrt(var + eps)
+    return (x - mean.astype(x.dtype)) * scale.astype(x.dtype)
 
 
 def init_batch_norm(num_features: int) -> Params:

@@ -829,3 +829,33 @@ def test_corr_single_scale_matches_level0(rng):
         ops.lookup_corr_gather(pyr_full, jnp.asarray(coords), radius=4)
     )
     np.testing.assert_allclose(out_ss, out_full[..., :81], rtol=1e-5, atol=1e-5)
+
+
+def test_instance_norm_matches_torch_f32(rng):
+    """float32 path: exact two-pass torch InstanceNorm2d semantics
+    (no affine, eps 1e-5 — the encoder norms, nn/layers.py)."""
+    from accflow_tpu.nn.layers import instance_norm
+
+    x = rng.normal(1.5, 2.0, (2, 9, 13, 8)).astype(np.float32)
+    ours = np.asarray(instance_norm(jnp.asarray(x)))
+    ref = to_nhwc(F.instance_norm(nchw(x)))
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_instance_norm_bf16_close_to_f32(rng):
+    """bf16 fast path (f32 one-pass stats + bf16 normalize arithmetic,
+    shipped r4 after the streaming-step trace): output must stay within
+    bf16 rounding scale of the exact f32 result — the same tolerance the
+    bf16 compute path already accepts at every conv output."""
+    from accflow_tpu.nn.layers import instance_norm
+
+    x = rng.normal(1.5, 2.0, (2, 64, 64, 32)).astype(np.float32)
+    exact = np.asarray(instance_norm(jnp.asarray(x)))
+    fast = np.asarray(
+        instance_norm(jnp.asarray(x).astype(jnp.bfloat16)).astype(jnp.float32)
+    )
+    # Output is unit-std per (sample, channel); bf16 has ~2-3 decimal
+    # digits. Allow a few ULP at the observed |x| <= ~5 range.
+    assert np.max(np.abs(fast - exact)) < 0.12
+    # and the error must be noise, not a systematic per-channel shift:
+    assert np.max(np.abs((fast - exact).mean(axis=(1, 2)))) < 0.01
