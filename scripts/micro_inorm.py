@@ -14,11 +14,29 @@ plus bf16<->f32 tile-relayout copies. Variants measured here:
   v3_bf16_affine  f32 stats, bf16 normalize arithmetic
                   (x - mean_bf16) * rsqrt_bf16 — cheapest, loosest
 
+  v4_matmul_stats MXU-contraction stats: transpose to (n*c, hw), dot
+                  with a ones vector, f32 accumulation — probes whether
+                  reading x in the conv's spatial-minor layout avoids
+                  the reduce's channel-minor relayout copies
+  v5_matmul_stats_nt  v4 without the explicit transpose
+  v6_concat_reduce    one fused reduce over concat([x, x^2], C axis)
+
 Each variant is timed INSIDE a conv -> norm -> relu chain (the encoder
 consumption pattern; a bare norm would let XLA fuse differently than in
 the model). Honest chained timing via utils/profiling.device_step_time.
 
     python scripts/micro_inorm.py
+
+Measured (r4, 1x v5e, ms/5-norm-chain, dominant 256^2x64 stage):
+v0 4.14 / v1 4.70 / v2 3.60 / **v3 1.33 (shipped)** / v4 1.96 /
+v5 2.25 / v6 3.23 — the MXU-contraction theory LOSES standalone (the
+dot-with-ones still relayouts x to put hw on lanes, plus pays the bf16
+x*x materialization), and the fused concat-reduce pays the concat copy.
+96ch/128ch stages: all variants within noise of each other (<0.2 ms).
+The avenue is closed at v3; the remaining ~1 ms/step of in-model copies
+around the 64-ch stage's norms (trace_stream r4) is XLA's layout
+oscillation between spatial-minor conv form and channel-minor reduce
+form — every formulation probed either pays it or pays more elsewhere.
 """
 
 import os
@@ -85,7 +103,65 @@ def v3_bf16_affine(x):
     return (x - mean.astype(x.dtype)) * scale.astype(x.dtype)
 
 
-VARIANTS = [v0_current, v1_fused_casts, v2_onepass, v3_bf16_affine]
+def _normalize_from_sums(x, s, sq, count):
+    n, _, _, c = x.shape
+    mean = (s / count).reshape(n, 1, 1, c)
+    meansq = (sq / count).reshape(n, 1, 1, c)
+    var = jnp.maximum(meansq - jnp.square(mean), 0.0)
+    scale = lax.rsqrt(var + EPS)
+    return (x - mean.astype(x.dtype)) * scale.astype(x.dtype)
+
+
+def v4_matmul_stats(x):
+    # r4 follow-up: the shipped v3 still leaves ~1 ms/step of relayout
+    # copies in the stream trace — the (H, W) reduce wants C in lanes
+    # while the 64-ch convs keep a spatial-minor layout. Contract H*W on
+    # the MXU instead (dot with a ones vector, f32 accumulation): the
+    # contraction can read x in the conv layout, so no relayout.
+    n, h, w, c = x.shape
+    xq = x.reshape(n, h * w, c).transpose(0, 2, 1).reshape(n * c, h * w)
+    ones = jnp.ones((h * w,), x.dtype)
+    dim = (((1,), (0,)), ((), ()))
+    s = lax.dot_general(xq, ones, dim, preferred_element_type=jnp.float32)
+    sq = lax.dot_general(
+        xq * xq, ones, dim, preferred_element_type=jnp.float32
+    )
+    return _normalize_from_sums(x, s, sq, h * w)
+
+
+def v5_matmul_stats_nt(x):
+    # v4 without the explicit transpose: contract dim 1 of (n, hw, c)
+    # with the ones vector directly — output (n, c).
+    n, h, w, c = x.shape
+    xq = x.reshape(n, h * w, c)
+    ones = jnp.ones((h * w,), x.dtype)
+    dim = (((1,), (0,)), ((), ()))
+    s = lax.dot_general(xq, ones, dim, preferred_element_type=jnp.float32)
+    sq = lax.dot_general(
+        xq * xq, ones, dim, preferred_element_type=jnp.float32
+    )
+    return _normalize_from_sums(x, s, sq, h * w)
+
+
+def v6_concat_reduce(x):
+    # One fused reduce over a stacked [x, x^2] tensor: halves the number
+    # of reduction ops (one convert_reduce instead of two).
+    n, h, w, c = x.shape
+    both = jnp.concatenate([x, x * x], axis=-1)  # (n, h, w, 2c)
+    sums = jnp.mean(both, axis=(1, 2), dtype=jnp.float32)  # (n, 2c)
+    s, sq = sums[:, :c], sums[:, c:]
+    return _normalize_from_sums(x, s * (h * w), sq * (h * w), h * w)
+
+
+VARIANTS = [
+    v0_current,
+    v1_fused_casts,
+    v2_onepass,
+    v3_bf16_affine,
+    v4_matmul_stats,
+    v5_matmul_stats_nt,
+    v6_concat_reduce,
+]
 
 
 def main():
