@@ -324,7 +324,8 @@ class FlowPipeline:
         outs = np.asarray(padder.unpad(outs), dtype=np.float32)
         return outs if batched else outs[:, 0]
 
-    def stream(self, iters: Optional[int] = 6, normalized: bool = False):
+    def stream(self, iters: Optional[int] = 6, normalized: bool = False,
+               ini_init: str = "ini"):
         """Open a stateful streaming session: long-range flows F_{i,0}
         over an unbounded frame stream, one frame at a time, with
         warm-started OFE queries (the shipped serving configuration
@@ -334,7 +335,10 @@ class FlowPipeline:
         iters: OFE iterations per step (default 6 — the measured
         quality/throughput sweet spot; pass 12 for the full cold-start
         count, or None for this pipeline's `iters`). Needs accumulator
-        weights, like long_range().
+        weights, like long_range(). ini_init: warm-start seed of the
+        long-range query, "ini" or "carry" (see
+        streaming.make_streaming_fns — "carry" re-anchors very long
+        streams on the accumulated flow).
 
             stream = pipe.stream()
             for frame in video:
@@ -349,7 +353,7 @@ class FlowPipeline:
 
         acc = StreamAccumulator(
             self._est_with_iters(iters), self.acfg, self.params,
-            self.acc_params,
+            self.acc_params, ini_init=ini_init,
         )
         return FlowStream(acc, normalized=normalized)
 

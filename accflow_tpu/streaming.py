@@ -68,7 +68,9 @@ from accflow_tpu.ops.warmstart import forward_splat_flow
 # norms (instance / frozen-BN / none) make the split exact.
 
 
-def make_streaming_fns(est, acfg: AccFlowConfig, ofe_params, acc_params):
+def make_streaming_fns(
+    est, acfg: AccFlowConfig, ofe_params, acc_params, ini_init: str = "ini"
+):
     """Build (init_fn, step_fn) for streaming backward accumulation.
 
     init_fn(frames3: (3, N, H, W, 3)) -> (out: (N, H, W, 2), state)
@@ -81,7 +83,21 @@ def make_streaming_fns(est, acfg: AccFlowConfig, ofe_params, acc_params):
     be flow_init-capable (RAFT and GMA both are). The OFE iteration
     count is est.cfg.iters — build the estimator with the reduced count
     you want per step (6 by default in the serving surfaces below).
+
+    ini_init picks the warm start of the LONG-RANGE query (I_i -> I_0):
+      "ini"    advect the previous step's direct flow_ini (default; the
+               in-clip warm-start recurrence, exactness-tested).
+      "carry"  advect the previous ACCUMULATED output flow — a
+               re-anchoring policy for long streams: once the true
+               displacement exceeds what a cold direct solve can find,
+               the accumulated estimate is the only good query seed, so
+               drift in flow_ini (which the cell's Blending fuses back
+               in) stops compounding from a stale direct chain.
+               Measured on long time-varying synthetic streams in
+               scripts/bench_drift.py.
     """
+    if ini_init not in ("ini", "carry"):
+        raise ValueError(f"ini_init must be 'ini' or 'carry', got {ini_init!r}")
     cd = jnp.dtype(acfg.compute_dtype)
     encode = est.encode_frame_fn(ofe_params)
     pairs_ff = est.pairs_from_features_fn(ofe_params)
@@ -118,10 +134,11 @@ def make_streaming_fns(est, acfg: AccFlowConfig, ofe_params, acc_params):
         # (constant velocity along the negated backward pair flow) and
         # warm-start both OFE queries from them.
         advect = -dflow
+        ini_seed = flow_ini if ini_init == "ini" else carry
         init = jnp.concatenate(
             [
                 forward_splat_flow(dflow, advect),
-                forward_splat_flow(flow_ini, advect),
+                forward_splat_flow(ini_seed, advect),
             ],
             axis=0,
         )
@@ -168,8 +185,10 @@ class StreamAccumulator:
     between calls (no host round-trips beyond the frame upload). For the
     numpy/padding convenience layer use FlowPipeline.stream()."""
 
-    def __init__(self, est, acfg: AccFlowConfig, ofe_params, acc_params):
-        init_fn, step_fn = make_streaming_fns(est, acfg, ofe_params, acc_params)
+    def __init__(self, est, acfg: AccFlowConfig, ofe_params, acc_params,
+                 ini_init: str = "ini"):
+        init_fn, step_fn = make_streaming_fns(
+            est, acfg, ofe_params, acc_params, ini_init=ini_init)
         self._init = jax.jit(init_fn)
         self._step = jax.jit(step_fn)
         self._state = None
@@ -200,7 +219,7 @@ _MAGIC = b"SFLOWSTRM1\n"
 
 def export_streaming(
     est, acfg: AccFlowConfig, ofe_params, acc_params, frame_shape,
-    platforms=None, weights_dtype=None,
+    platforms=None, weights_dtype=None, ini_init: str = "ini",
 ):
     """Export the streaming pipeline for frame_shape = (N, H, W).
 
@@ -214,7 +233,8 @@ def export_streaming(
     if weights_dtype is not None:
         ofe_params = cast_weights(ofe_params, weights_dtype)
         acc_params = cast_weights(acc_params, weights_dtype)
-    init_fn, step_fn = make_streaming_fns(est, acfg, ofe_params, acc_params)
+    init_fn, step_fn = make_streaming_fns(
+        est, acfg, ofe_params, acc_params, ini_init=ini_init)
     n, h, w = frame_shape
     kwargs = {"platforms": tuple(platforms)} if platforms else {}
 

@@ -112,6 +112,16 @@ def main():
         # r3: space-to-depth stem (12-channel MXU contraction instead of 3).
         ("stem_s2d", dict(stem_s2d=True)),
         ("s2d_unroll4", dict(stem_s2d=True, scan_unroll=4)),
+        # r5: ondemand chunk sweep (VERDICT item 3 — the volume-free path
+        # measured +57% over stored with no trace explaining it; sweep the
+        # lax.map chunk grain against the shipped fused+unroll4 config).
+        # At 512^2 Q=4096: chunk 4096 = single chunk (no lax.map, full
+        # rows live — the serialization-free bound), 512 = 8 chunks.
+        ("od512_unroll4", dict(corr_lookup="ondemand:512", scan_unroll=4)),
+        ("od1024_unroll4", dict(corr_lookup="ondemand:1024", scan_unroll=4)),
+        ("od2048_unroll4", dict(corr_lookup="ondemand:2048", scan_unroll=4)),
+        ("od4096_unroll4", dict(corr_lookup="ondemand:4096", scan_unroll=4)),
+        ("fused_unroll4", dict(corr_lookup="fused", scan_unroll=4)),
     ]
     # stem_s2d also applies to the AccFlow context encoder.
     acc_cfgs = {

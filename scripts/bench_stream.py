@@ -80,10 +80,7 @@ def run_quality():
     """Train-on-synthetic + EPE table (see module docstring)."""
     import tempfile
 
-    from accflow_tpu.data.synthetic import write_synthetic_cvor
-    from accflow_tpu.train.engine import train_acc
-    from accflow_tpu.train.finetune import fine_tune
-    from accflow_tpu.utils.config import AttrDict
+    from _synth_train import train_synthetic_weights
 
     steps = int(os.environ.get("QUALITY_STEPS", "300"))
     qsize = int(os.environ.get("QUALITY_SIZE", "256"))
@@ -93,47 +90,11 @@ def run_quality():
     # resumes the fine-tune from its checkpoints (the remote-compile relay
     # occasionally drops long runs; this makes the experiment restartable).
     reuse = os.environ.get("QUALITY_REUSE")
-    num_train = max(4 * clips, 48)
-    if reuse:
-        tmp = reuse
-        root = os.path.join(tmp, "cvor")
-        print(f"[quality] reusing CVOR + checkpoints under {tmp}")
-    else:
-        tmp = tempfile.mkdtemp(prefix="stream_quality_")
-        root = os.path.join(tmp, "cvor")
-        print(f"[quality] synthetic CVOR at {root} ({qsize}^2, {clips} test clips)")
-        write_synthetic_cvor(root, num_train=num_train, num_test=clips,
-                             h=qsize, w=qsize)
-
-    # Size epochs so the OneCycle schedule spans the steps actually run
-    # (stopping mid-warmup would leave the model barely trained). Both
-    # engines train on the clean+final CONCAT split, so one epoch is
-    # 2*num_train samples (engine.py sample_per_epoch).
-    spe = 2 * num_train // 6 + 1  # sample_per_epoch at batch 6 on one chip
-    common = dict(
-        dataset_root=root, batch_per_gpu=6, image_size=[qsize, qsize],
-        lr=2e-4, wdecay=1e-5, epsilon=1e-8, clip=1.0,
-        epochs=max(1, round(steps / spe)),
-        add_noise=False, log_freq=50, valid_freq=10**9, seed=0,
-        log_dir=os.path.join(tmp, "logs"), ckpt_dir=os.path.join(tmp, "ckpt"),
+    tmp = reuse or tempfile.mkdtemp(prefix="stream_quality_")
+    root, ofe_params, acc_params = train_synthetic_weights(
+        tmp, steps=steps, qsize=qsize, clips=clips, ofe=OFE,
+        reuse=bool(reuse),
     )
-    ft_ckpt = os.path.join(tmp, "ckpt_ft")
-    ft_resume = "auto" if reuse and os.path.isdir(ft_ckpt) else None
-    print(f"[quality] fine-tuning {OFE.upper()} for {steps} steps on synthetic data"
-          + (" (resume auto)" if ft_resume else ""))
-    ft = fine_tune(AttrDict(dict(common, exp_name=f"{OFE.upper()}-synth",
-                                 log_dir=os.path.join(tmp, "logs_ft"),
-                                 ckpt_dir=ft_ckpt, resume=ft_resume)),
-                   max_steps=steps)
-    ofe_params = ft.params
-    print(f"[quality] training accumulator for {steps} steps")
-    ta_resume = (
-        "auto" if reuse and os.path.isdir(common["ckpt_dir"]) else None
-    )
-    ta = train_acc(AttrDict(dict(common, exp_name=f"Acc+{OFE.upper()}-synth",
-                                 ofe_params=ofe_params, resume=ta_resume)),
-                   max_steps=steps)
-    acc_params = ta.params
 
     rows = quality_table(root, ofe_params, acc_params, batch=min(2, clips))
     base = rows[0]["epe_all"]
