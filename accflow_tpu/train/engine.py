@@ -55,12 +55,13 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
 
-def to_clip(imgs: jnp.ndarray, frames: int = 7) -> jnp.ndarray:
+def to_clip(imgs: jnp.ndarray, frames: int | None = None) -> jnp.ndarray:
     """(N, H, W, 3*T) uint8/float -> (T, N, H, W, 3) in [-1, 1]
-    (preprocess normalization, train_acc.py:62)."""
+    (preprocess normalization, train_acc.py:62). frames, if given, asserts
+    the clip length (the CVO protocol's 7); None infers T from C/3."""
     n, h, w, c = imgs.shape
     t = c // 3
-    assert t == frames, (t, frames)
+    assert c % 3 == 0 and (frames is None or t == frames), (t, frames)
     x = imgs.astype(jnp.float32)
     x = 2.0 * (x / 255.0) - 1.0
     x = x.reshape(n, h, w, t, 3)
@@ -93,12 +94,14 @@ def build_acc_model(opt):
     cd = opt.get("compute_dtype", "bfloat16")
     est = build_flow_estimator(
         opt.exp_name, compute_dtype=cd,
+        small=bool(opt.get("small", False)),
         scan_unroll=int(opt.get("scan_unroll", 1)),
         corr_lookup=opt.get("corr_lookup", "fused"),
         attn_chunk=int(opt.get("attn_chunk", 0)),
     )
     acfg = AccFlowConfig(
         compute_dtype=cd,
+        hidden=int(opt.get("acc_hidden", 128)),
         remat=opt.get("remat", False),  # False | "full"/true | "dots"
         direction=opt.get("direction", "backward"),
     )

@@ -187,6 +187,7 @@ def fine_tune(opt, max_steps: int | None = None, tb=None):
 
     est = build_flow_estimator(
         opt.exp_name, compute_dtype=opt.get("compute_dtype", "bfloat16"),
+        small=bool(opt.get("small", False)),
         scan_unroll=int(opt.get("scan_unroll", 1)),
         # dots: save matmul/conv outputs across the GRU scan, recompute the
         # elementwise glue in the backward — measured 17% faster than

@@ -25,6 +25,7 @@ def train_synthetic_weights(
     ofe: str = "raft",
     seg_len=None,
     reuse: bool = False,
+    extra_opt=None,
 ):
     """Returns (root, ofe_params, acc_params). root is the CVOR dataset
     dir (train split = training data; test split = `clips` held-out
@@ -51,6 +52,7 @@ def train_synthetic_weights(
         add_noise=False, log_freq=50, valid_freq=10**9, seed=0,
         log_dir=os.path.join(tmp, "logs"), ckpt_dir=os.path.join(tmp, "ckpt"),
     )
+    common.update(extra_opt or {})  # e.g. small=True, acc_hidden=64
     ft_ckpt = os.path.join(tmp, "ckpt_ft")
     ft_resume = "auto" if reuse and os.path.isdir(ft_ckpt) else None
     print(f"[quality] fine-tuning {ofe.upper()} for {steps} steps on "

@@ -158,6 +158,8 @@ def main():
         names = sel.split(",")
         configs = [c for c in configs if c[0] in names]
 
+    from _matrix import record
+
     for name, size, batch, lookup, kw in configs:
         try:
             t = clip_time(size, batch, lookup, **kw)
@@ -165,6 +167,8 @@ def main():
                 f"{name:18s} {t*1e3:9.1f} ms/clip  ({FRAMES/t:6.2f} frames/s)",
                 flush=True,
             )
+            record(f"hires_{name}_frames_per_sec", FRAMES / t,
+                   "frames/s/chip", size=size, batch=batch, lookup=lookup)
         except Exception as e:  # RESOURCE_EXHAUSTED etc. — keep sweeping
             msg = str(e).splitlines()[0][:120]
             kind = "OOM" if "RESOURCE_EXHAUSTED" in str(e) or "emory" in str(e) else "FAIL"

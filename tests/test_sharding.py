@@ -387,3 +387,95 @@ def test_sharded_grad_accum_matches_unsharded_full_batch(cpu_devices):
         np.asarray(jax.tree.leaves(out_state.params)[0]), ref_leaf,
         rtol=2e-4, atol=1e-5,
     )
+
+
+def test_spatial_sharded_hires_serving_matches(cpu_devices):
+    """The full hi-res serving recipe run multi-chip: the accumulator
+    CLIP forward with the volume-free (ondemand) lookup, image height
+    sharded over 8 devices == an unsharded stored-volume run. This is
+    the projected 8-chip 2048^2 configuration (PARITY.md
+    "High-resolution serving": height-sharded frames, GSPMD conv halos,
+    no O((HW)^2) volume on any chip)."""
+    from accflow_tpu.models import build_flow_estimator
+    from accflow_tpu.models.accflow import (
+        AccFlowConfig,
+        accflow_forward,
+        init_accflow,
+    )
+
+    est_mm = build_flow_estimator("raft", compute_dtype="float32",
+                                  corr_lookup="mm", iters=2)
+    est_od = build_flow_estimator("raft", compute_dtype="float32",
+                                  corr_lookup="ondemand:64", iters=2)
+    acfg = AccFlowConfig(compute_dtype="float32")
+    params = est_mm.init(jax.random.PRNGKey(0))
+    acc_params = init_accflow(jax.random.PRNGKey(1), acfg)
+    rng = np.random.default_rng(3)
+    images = jnp.asarray(
+        rng.uniform(-1, 1, (5, 1, 128, 128, 3)).astype(np.float32)
+    )
+
+    def fwd(est):
+        return jax.jit(
+            lambda ap, op, ims: accflow_forward(
+                ap, est.flow_fn(op), ims, acfg, ofe_pairs=est.pairs_fn(op)
+            )
+        )
+
+    ref = np.asarray(fwd(est_mm)(acc_params, params, images))
+
+    mesh = make_mesh(n_data=1, n_spatial=8)
+    sh = NamedSharding(mesh, P(None, None, "spatial", None, None))
+    out = fwd(est_od)(
+        shard_params(mesh, acc_params), shard_params(mesh, params),
+        jax.device_put(images, sh),
+    )
+    assert len(out.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-3, atol=1e-3)
+
+
+def test_spatial_sharded_streaming_matches(cpu_devices):
+    """The stateful streaming surface composed with a device mesh: init +
+    two push steps with frame height sharded over 8 devices == the
+    unsharded run, with the carried state tuple staying sharded on device
+    between steps (VERDICT r4 weak #6: no test composed streaming with a
+    mesh)."""
+    from accflow_tpu.models import build_flow_estimator
+    from accflow_tpu.models.accflow import AccFlowConfig, init_accflow
+    from accflow_tpu.streaming import make_streaming_fns
+
+    est = build_flow_estimator("raft", compute_dtype="float32", iters=2)
+    acfg = AccFlowConfig(compute_dtype="float32", warm_start=True)
+    ofe_params = est.init(jax.random.PRNGKey(0))
+    acc_params = init_accflow(jax.random.PRNGKey(1), acfg)
+
+    rng = np.random.default_rng(4)
+    frames = jnp.asarray(
+        rng.uniform(-1, 1, (5, 1, 128, 128, 3)).astype(np.float32)
+    )
+
+    init_fn, step_fn = make_streaming_fns(est, acfg, ofe_params, acc_params)
+    out, state = jax.jit(init_fn)(frames[:3])
+    refs = [np.asarray(out)]
+    for i in (3, 4):
+        out, state = jax.jit(step_fn)(state, frames[i])
+        refs.append(np.asarray(out))
+
+    mesh = make_mesh(n_data=1, n_spatial=8)
+    init_s, step_s = make_streaming_fns(
+        est, acfg, shard_params(mesh, ofe_params),
+        shard_params(mesh, acc_params),
+    )
+    fsh = NamedSharding(mesh, P(None, "spatial", None, None))
+    out, state = jax.jit(init_s)(
+        jax.device_put(frames[:3], NamedSharding(
+            mesh, P(None, None, "spatial", None, None)))
+    )
+    outs = [np.asarray(out)]
+    for i in (3, 4):
+        out, state = jax.jit(step_s)(state, jax.device_put(frames[i], fsh))
+        outs.append(np.asarray(out))
+    assert len(out.sharding.device_set) == 8
+
+    for o, r in zip(outs, refs):
+        np.testing.assert_allclose(o, r, rtol=1e-3, atol=1e-3)

@@ -189,3 +189,70 @@ def test_pair_streaming_matches_evaluate_sequence(setup):
         out, state = step_fn(state, frames[i])
         got.append(np.asarray(out))
     np.testing.assert_allclose(np.stack(got), want, rtol=1e-5, atol=1e-5)
+
+
+_FIXTURES = __import__("os").path.join(
+    __import__("os").path.dirname(__file__), "fixtures"
+)
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.exists(
+        __import__("os").path.join(_FIXTURES, "drift_small_ofe.npz")
+    ),
+    reason="drift fixture not built (scripts/make_drift_fixture.py)",
+)
+def test_long_stream_drift_bound():
+    """EPE drift bound on a >=32-frame stream (VERDICT r4 item 1): the
+    streaming surface run 5x past the reference's 7-frame clip horizon
+    (networks/AccFlow_.py:157-175) on time-varying motion with a moving
+    occluder, using committed tiny TRAINED weights (RAFT-small +
+    hidden-64 accumulator; scripts/make_drift_fixture.py). Asserts the
+    EPE(i) curve (i) stays within headroom of the curve recorded when the
+    fixture was trained (regression guard for the streaming math) and
+    (ii) does not blow up at the long end (drift bound: the late-horizon
+    mean within 2x of the early-horizon mean + 1px)."""
+    import os
+
+    import jax
+
+    from accflow_tpu.convert.store import load_params
+    from accflow_tpu.data.synthetic import make_long_sequence
+    from accflow_tpu.models import build_flow_estimator
+    from accflow_tpu.models.accflow import AccFlowConfig
+    from accflow_tpu.streaming import StreamAccumulator
+
+    f32 = lambda t: jax.tree.map(lambda a: np.asarray(a, np.float32), t)
+    ofe_params = f32(load_params(os.path.join(_FIXTURES, "drift_small_ofe.npz")))
+    acc_params = f32(load_params(os.path.join(_FIXTURES, "drift_small_acc.npz")))
+    ref_curve = np.load(os.path.join(_FIXTURES, "drift_small_epe.npy"))
+
+    # The exact sequence the fixture's recorded curve was measured on
+    # (scripts/make_drift_fixture.py::drift_sequence).
+    seq = make_long_sequence(
+        np.random.default_rng(77), 64, 64, 36, seg_len=6, max_v=1,
+        fg=True, fg_max_v=2,
+    )
+    est = build_flow_estimator("raft", compute_dtype="float32", small=True,
+                               iters=6)
+    acfg = AccFlowConfig(compute_dtype="float32", warm_start=True, hidden=64)
+    acc = StreamAccumulator(est, acfg, ofe_params, acc_params)
+    imgs = (2.0 * (seq["imgs"].astype(np.float32) / 255.0) - 1.0)[:, None]
+    outs = [np.asarray(acc.reset(imgs[:3]))[0]]
+    for i in range(3, imgs.shape[0]):
+        outs.append(np.asarray(acc.push(imgs[i]))[0])
+    outs = np.stack(outs)
+    gt = seq["bflows"][1 : 1 + outs.shape[0]]
+    curve = np.sqrt(((outs - gt) ** 2).sum(-1)).mean(axis=(1, 2))
+
+    # (i) regression guard vs the recorded curve (f16 weights quantization
+    # + backend differences get modest headroom).
+    assert (curve <= ref_curve * 1.5 + 0.5).all(), (
+        f"stream EPE regressed: {curve} vs recorded {ref_curve}"
+    )
+    # (ii) the drift bound itself: late horizons must not blow up.
+    early = curve[2:8].mean()   # i = 4..9
+    late = curve[-6:].mean()    # i = 30..35
+    assert late <= 2.0 * early + 1.0, (
+        f"accumulated drift: late EPE {late:.3f} vs early {early:.3f}"
+    )
