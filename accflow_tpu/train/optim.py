@@ -24,19 +24,31 @@ def onecycle_linear(
     div_factor: float = 25.0,
     final_div_factor: float = 1e4,
 ) -> optax.Schedule:
+    import jax.numpy as jnp
+
     initial = max_lr / div_factor
     final = initial / final_div_factor
-    # torch's phase boundaries: warmup ends at step pct*total - 1, the
-    # anneal reaches final_lr at step total - 1 (OneCycleLR._schedule_phases).
-    warmup_end = max(int(round(pct_start * total_steps)) - 1, 1)
-    anneal_steps = max(total_steps - 1 - warmup_end, 1)
-    return optax.join_schedules(
-        [
-            optax.linear_schedule(initial, max_lr, warmup_end),
-            optax.linear_schedule(max_lr, final, anneal_steps),
-        ],
-        boundaries=[warmup_end],
-    )
+    # torch's phase boundaries are FRACTIONAL: warmup ends at step
+    # pct*total - 1 (e.g. 4.4 for total=108, pct=0.05) and each phase
+    # interpolates pct = step/end_step against that float boundary
+    # (OneCycleLR._schedule_phases / get_lr). Rounding the boundary to an
+    # integer is exact only when pct*total is integral — at the recipe's
+    # num_steps+100 totals it usually is not, and the N-step trajectory
+    # parity test (test_training.py) caught the warmup lrs off by ~8%.
+    warm_end = pct_start * total_steps - 1.0
+    anneal_end = float(total_steps - 1)
+
+    def schedule(count):
+        c = jnp.asarray(count, jnp.float32)
+        if warm_end <= 0:  # degenerate tiny-total case: anneal only
+            pct = jnp.clip(c / max(anneal_end, 1.0), 0.0, 1.0)
+            return max_lr + (final - max_lr) * pct
+        warm = initial + (max_lr - initial) * jnp.minimum(c / warm_end, 1.0)
+        pct = jnp.clip((c - warm_end) / (anneal_end - warm_end), 0.0, 1.0)
+        ann = max_lr + (final - max_lr) * pct
+        return jnp.where(c <= warm_end, warm, ann)
+
+    return schedule
 
 
 def make_optimizer(

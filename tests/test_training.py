@@ -14,8 +14,13 @@ from accflow_tpu.train.loss import sequence_loss_acc, sequence_loss_raft
 from accflow_tpu.train.optim import onecycle_linear
 
 
-def test_onecycle_matches_torch():
-    lr, total = 1.2e-4, 1000
+@pytest.mark.parametrize("total", [1000, 108])
+def test_onecycle_matches_torch(total):
+    # total=108 has a FRACTIONAL warmup boundary (0.05*108-1 = 4.4) —
+    # the recipe's num_steps+100 totals usually do; torch interpolates
+    # against the float boundary and so must we (caught by the N-step
+    # trajectory parity test).
+    lr = 1.2e-4
     p = torch.nn.Parameter(torch.zeros(1))
     opt = torch.optim.AdamW([p], lr=lr)
     sched = torch.optim.lr_scheduler.OneCycleLR(
@@ -29,7 +34,8 @@ def test_onecycle_matches_torch():
         opt.step()
         sched.step()
     ours_lrs = np.array([float(ours(i)) for i in range(total)])
-    np.testing.assert_allclose(ours_lrs, np.array(torch_lrs), rtol=2e-2, atol=1e-9)
+    # rtol 1e-4: ours evaluates in f32 (jit-friendly); torch in f64.
+    np.testing.assert_allclose(ours_lrs, np.array(torch_lrs), rtol=1e-4, atol=1e-11)
 
 
 def test_sequence_loss_raft_matches_reference(rng):
@@ -571,3 +577,184 @@ def test_finetune_grad_accum_runs(tmp_path):
     assert all(
         np.isfinite(np.asarray(l)).all() for l in jax.tree.leaves(state.params)
     )
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.isdir("/root/reference"),
+    reason="reference tree not available",
+)
+def test_training_trajectory_parity():
+    """N-step training-TRAJECTORY parity vs the actual torch trainer
+    semantics (train_acc.py:206-236): same converted init, same fixed
+    batches, AdamW(lr, wdecay, eps) + linear OneCycle(total=steps+100,
+    pct_start=0.05) + clip_grad_norm(1.0) + L1 sequence_loss_acc, noise
+    off — per-step losses and the final parameter DELTAS must track.
+
+    The torch loop is rebuilt here from train_acc.py line-for-line
+    (fetch_optimizer at train_acc.py:72-87; the update block at
+    train_acc.py:206-236 with GradScaler disabled): the reference's
+    optimizer sees model.parameters() but the OFE runs under no_grad
+    (AccFlow_.py:183), so grad-less params are skipped by both AdamW and
+    clip_grad_norm_ — equivalent to our frozen-OFE split. Torch model in
+    eval() for the documented frozen-BN divergence (SURVEY §3.4);
+    mixed_precision off, f32 both sides."""
+    import argparse
+    import sys
+
+    sys.path.insert(0, __import__("os").path.dirname(__file__))
+    import _torch_ref  # noqa: F401  (sys.path + DeformConv2d stand-in)
+    from loss import sequence_loss_acc as sequence_loss_acc_torch
+    from networks.AccFlow_ import AccFlow
+    from networks.raft.raft import RAFT
+
+    from accflow_tpu.convert.torch_weights import (
+        convert_state_dict,
+        split_accflow_state,
+    )
+    from accflow_tpu.models import build_flow_estimator
+    from accflow_tpu.models.accflow import AccFlowConfig, init_accflow
+    from accflow_tpu.train.engine import TrainState, make_acc_train_step
+    from accflow_tpu.train.optim import make_optimizer
+
+    steps, lr, wdecay, eps, clip = 8, 2e-4, 1e-5, 1e-8, 1.0
+    # >=128^2: the reference corr pyramid reaches a 1x1 level below that
+    # and its (W-1) grid normalization divides by zero (test_model_parity).
+    frames, n, size = 4, 1, 128
+
+    torch.manual_seed(11)
+    ofe_t = RAFT(argparse.Namespace(small=False, mixed_precision=False))
+    model = AccFlow(ofe_t).eval()
+    model.mixed_precision = False
+    for p in ofe_t.parameters():
+        p.requires_grad_(False)
+    # Nudge the zero-init deform OFFSET head (ZeroConv2d, AccFlow_.py:81)
+    # off exact zero: with all offsets exactly 0, the bilinear sampler's
+    # coordinate derivative sits on a subgradient boundary (left/right
+    # limits differ at integer coords) that torch's grid_sample and our
+    # gather formulation resolve differently — both valid descent, but
+    # Adam amplifies the differing step-1 signs to full delta scale.
+    # ~0.02 px offsets make the gradient well-defined and IDENTICAL; the
+    # same perturbed weights are converted to the jax side below.
+    with torch.no_grad():
+        zc = model.accplus.conv2[4].conv
+        gen = torch.Generator().manual_seed(123)
+        zc.weight.add_(1e-3 * torch.randn(zc.weight.shape, generator=gen))
+        zc.bias.add_(1e-3 * torch.randn(zc.bias.shape, generator=gen))
+
+    # Fixed data: two batches cycled over the steps (uint8-range images,
+    # smooth random "flows" as labels — trajectory parity needs identical
+    # inputs, not meaningful motion).
+    rng = np.random.default_rng(5)
+    imgs_np = rng.integers(0, 256, (2, frames, n, size, size, 3)).astype(np.float32)
+    gts_np = (4.0 * rng.standard_normal((2, frames - 2, n, size, size, 2))).astype(
+        np.float32
+    )
+
+    # --- torch trajectory (train_acc.py loop, scaler disabled) ---
+    optimizer = torch.optim.AdamW(
+        [p for p in model.parameters() if p.requires_grad],
+        lr=lr, weight_decay=wdecay, eps=eps,
+    )
+    scheduler = torch.optim.lr_scheduler.OneCycleLR(
+        optimizer, max_lr=lr, total_steps=steps + 100, pct_start=0.05,
+        cycle_momentum=False, anneal_strategy="linear",
+    )
+    init_sd = {k: v.detach().clone() for k, v in model.state_dict().items()}
+    losses_t = []
+    for s in range(steps):
+        optimizer.zero_grad()
+        images = [
+            torch.from_numpy(2 * (imgs_np[s % 2, t] / 255.0) - 1).permute(0, 3, 1, 2)
+            for t in range(frames)
+        ]
+        label = [
+            torch.from_numpy(gts_np[s % 2, t]).permute(0, 3, 1, 2)
+            for t in range(frames - 2)
+        ]
+        flows_pre = model(images=images, test_mode=False)
+        loss, _ = sequence_loss_acc_torch(flows_pre, label)
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(model.parameters(), clip)
+        optimizer.step()
+        scheduler.step()
+        losses_t.append(float(loss.detach()))
+
+    # --- jax trajectory (train/engine.py step) from the SAME init ---
+    ofe_sd, acc_sd = split_accflow_state(init_sd)
+    _, acc_final_sd = split_accflow_state(model.state_dict())
+    est = build_flow_estimator("raft", compute_dtype="float32")
+    ofe_params = convert_state_dict(est.init(jax.random.PRNGKey(0)), ofe_sd)
+    acfg = AccFlowConfig(compute_dtype="float32")
+    acc_template = init_accflow(jax.random.PRNGKey(1), acfg)
+    acc_params = convert_state_dict(acc_template, acc_sd)
+    acc_final_ref = convert_state_dict(acc_template, acc_final_sd)
+
+    tx, _ = make_optimizer(lr, num_steps=steps, wdecay=wdecay, epsilon=eps,
+                           clip=clip)
+    train_step, _ = make_acc_train_step(est, acfg, tx, add_noise=False)
+    state = TrainState(acc_params, tx.init(acc_params), jnp.int32(0))
+    acc_init = jax.tree.map(np.asarray, acc_params)
+
+    losses_j = []
+    key = jax.random.PRNGKey(0)
+    for s in range(steps):
+        imgs = jnp.asarray(
+            np.moveaxis(imgs_np[s % 2], 0, 3).reshape(n, size, size, 3 * frames)
+        )
+        labels = jnp.asarray(
+            np.moveaxis(gts_np[s % 2], 0, 3).reshape(n, size, size, 2 * (frames - 2))
+        )
+        state, loss, _ = train_step(state, ofe_params, imgs, labels, key)
+        losses_j.append(float(loss))
+
+    np.testing.assert_allclose(losses_j, losses_t, rtol=5e-3)
+
+    # Final parameter DELTAS (init -> step 8) must track leaf-by-leaf.
+    # atol comes from the GLOBAL delta scale: Adam normalizes per-element,
+    # so leaves whose true gradient is f32 noise still random-walk at
+    # ~1e-2 of the signal deltas — uncorrelated between implementations
+    # by construction (same reasoning as _assert_tree_allclose in
+    # test_model_parity, but post-optimizer the noise floor is relative
+    # to the tree, not the leaf).
+    delta_j = jax.tree.map(lambda a, b: np.asarray(a) - b, state.params, acc_init)
+    delta_t = jax.tree.map(
+        lambda a, b: np.asarray(a) - np.asarray(b), acc_final_ref, acc_params
+    )
+    g = max(
+        float(np.abs(np.asarray(l)).max()) for l in jax.tree.leaves(delta_t)
+    )
+    # Element-wise comparison is noise-limited: Adam normalizes per
+    # element, so elements whose true gradient is f32 noise (e.g. conv
+    # weights under the detached binary occlusion mask) random-walk to a
+    # few e-2 of the global delta scale, UNcorrelated between
+    # implementations — measured: ~3% of accplus.conv2 elements land in
+    # (2e-2, 5e-2)*g on either side. A real semantic divergence (wrong
+    # schedule/clip/loss/optimizer) moves deltas at O(g) across the
+    # board, so assert (a) the global delta vector matches in relative
+    # L2, and (b) per leaf, the error tail stays at noise amplitude.
+    num = sum(
+        float(((np.asarray(a) - np.asarray(b)) ** 2).sum())
+        for a, b in zip(jax.tree.leaves(delta_j), jax.tree.leaves(delta_t))
+    )
+    den = sum(float((np.asarray(b) ** 2).sum()) for b in jax.tree.leaves(delta_t))
+    rel = (num / den) ** 0.5
+    assert rel <= 5e-2, f"global param-delta relative L2 {rel:.3f} > 0.05"
+    for (path, dj), dt in zip(
+        jax.tree_util.tree_flatten_with_path(delta_j)[0],
+        jax.tree_util.tree_leaves(delta_t),
+    ):
+        err = np.abs(np.asarray(dj) - np.asarray(dt))
+        name = jax.tree_util.keystr(path)
+        p999 = float(np.quantile(err, 0.999))
+        # Caps in LR units: an element whose |pred-gt| crosses zero at
+        # slightly different steps between implementations takes one
+        # L1-sign-flipped Adam step (~2*max_lr — measured 4.0e-4 at
+        # lr=2e-4 on a handful of conv4 elements; the p99.9 tail sits at
+        # ~0.6*lr). 3*lr / 1*lr bound those without admitting systematic
+        # divergence, which moves at O(8*lr) across whole leaves (and is
+        # what the global-L2 check above measures — it caught the real
+        # OneCycle fractional-boundary bug at 15%).
+        assert p999 <= 1.5 * lr and err.max() <= 3.0 * lr, (
+            f"param-delta tail at {name}: p99.9 {p999:.2e}, "
+            f"max {err.max():.2e} vs global scale {g:.2e}, lr {lr:g}"
+        )
