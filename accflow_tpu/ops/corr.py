@@ -23,6 +23,7 @@ path; this module is the XLA reference implementation.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -177,8 +178,15 @@ def resolve_auto_lookup(lookup_impl: str, batch: int, h8: int, w8: int,
     return default if vol_bytes <= AUTO_VOLUME_BYTES else "ondemand"
 
 
-def ondemand_chunk(lookup_impl: str, default: int = 1024) -> int:
-    """Parse the ':chunk' suffix of an ondemand impl string."""
+def ondemand_chunk(lookup_impl: str, default: int = 0) -> int:
+    """Parse the ':chunk' suffix of an ondemand impl string.
+
+    Returns 0 (the AUTO sentinel) for a bare 'ondemand': the chunk is
+    then sized per shape at lookup time (_auto_chunk) — one chunk
+    whenever the recomputed rows fit the memory budget, since the
+    lax.map chunk loop costs real throughput (measured r5 at 512^2 b2:
+    chunk 1024 = 40.7 f/s vs single-chunk 53.9 f/s, a 32% win purely
+    from removing the loop)."""
     if ":" not in lookup_impl:
         return default
     suffix = lookup_impl.split(":", 1)[1]
@@ -205,6 +213,22 @@ def _divisor_chunk(total: int, chunk: int) -> int:
     while total % chunk:
         chunk -= 1
     return chunk
+
+
+# Live-rows budget for the AUTO ondemand chunk (bytes of recomputed
+# correlation rows per chunk, f32, across the batch). 4 GB reproduces
+# the chunk the fixed default already ran at the 2048^2 fused shape
+# (11 pairs x 1024 queries x 87k keys ~ 2.9 GB, measured r4) while
+# removing the chunk loop entirely up to ~1024^2 serving shapes.
+OD_AUTO_BYTES = int(os.environ.get("ACCFLOW_OD_CHUNK_BYTES", 4 << 30))
+
+
+def _auto_chunk(b: int, q: int, key_elems: int) -> int:
+    """Largest divisor-of-q chunk whose recomputed rows
+    (b * chunk * key_elems f32) fit OD_AUTO_BYTES; at least 256 queries
+    so tiny budgets never degenerate toward per-query serialization."""
+    fit = OD_AUTO_BYTES // max(4 * b * key_elems, 1)
+    return _divisor_chunk(q, max(int(fit), 256))
 
 
 def build_corr_operands(
@@ -305,6 +329,8 @@ class OnDemandChunks(NamedTuple):
 
 def prepare_ondemand_chunks(od: OnDemandCorr, chunk: int) -> OnDemandChunks:
     b, q, c = od.f1.shape
+    if chunk == 0:  # AUTO (see ondemand_chunk)
+        chunk = _auto_chunk(b, q, sum(hl * wl for hl, wl in od.shapes))
     chunk = _divisor_chunk(q, chunk)
     f1s = od.f1.reshape(b, q // chunk, chunk, c).transpose(1, 0, 2, 3)
     return OnDemandChunks(
@@ -316,7 +342,7 @@ def lookup_corr_on_demand(
     od,
     coords: jnp.ndarray,
     radius: int = 4,
-    chunk: int = 1024,
+    chunk: int = 0,
     precision: str = "highest",
 ) -> jnp.ndarray:
     """Streaming corr lookup: recompute + tent-contract per query chunk.
@@ -330,7 +356,10 @@ def lookup_corr_on_demand(
     usable as a memory-bounded TRAINING path, not just inference.
 
     chunk: requested queries per chunk; rounded down to the largest
-    divisor of H*W so every chunk has one static shape.
+    divisor of H*W so every chunk has one static shape. 0 = AUTO: the
+    largest chunk whose live rows fit OD_AUTO_BYTES — one chunk (no
+    lax.map at all) whenever memory allows, since the chunk loop itself
+    costs ~32% throughput at 512^2 (r5 sweep, BENCH_MATRIX).
     Numerically identical to lookup_corr on a
     build_corr_pyramid(precision=precision, dtype=vol_dtype) volume.
 
@@ -345,6 +374,10 @@ def lookup_corr_on_demand(
         chunk = od.chunk
         c = od.f1s.shape[-1]
     else:
+        if chunk == 0:  # AUTO (see ondemand_chunk)
+            chunk = _auto_chunk(
+                b, qtot, sum(hl * wl for hl, wl in od.shapes)
+            )
         chunk = _divisor_chunk(qtot, chunk)
         c = od.f1.shape[-1]
     nch = qtot // chunk

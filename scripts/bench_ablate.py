@@ -117,6 +117,7 @@ def main():
         # lax.map chunk grain against the shipped fused+unroll4 config).
         # At 512^2 Q=4096: chunk 4096 = single chunk (no lax.map, full
         # rows live — the serialization-free bound), 512 = 8 chunks.
+        ("od_auto_unroll4", dict(corr_lookup="ondemand", scan_unroll=4)),
         ("od512_unroll4", dict(corr_lookup="ondemand:512", scan_unroll=4)),
         ("od1024_unroll4", dict(corr_lookup="ondemand:1024", scan_unroll=4)),
         ("od2048_unroll4", dict(corr_lookup="ondemand:2048", scan_unroll=4)),
@@ -132,12 +133,16 @@ def main():
     if sel:
         names = sel.split(",")
         variants = [v for v in variants if v[0] in names]
+    from _matrix import record
+
     times = {}
     for name, kw in variants:
         est = build_flow_estimator("raft", compute_dtype="bfloat16", **kw)
         t = clip_time(est, acc_cfgs.get(name, acfg))
         times[name] = t
         print(f"{name:22s} {t*1e3:8.1f} ms/clip  ({FRAMES/t:6.1f} frames/s)", flush=True)
+        record(f"ablate_{name}_frames_per_sec", FRAMES / t, "frames/s/chip",
+               batch=BATCH, size=SIZE)
 
     for suffix in ("", "_pallas"):
         full = "base_12it_f32vol" if not suffix else "lookup_pallas"
