@@ -222,6 +222,11 @@ def _divisor_chunk(total: int, chunk: int) -> int:
 # removing the chunk loop entirely up to ~1024^2 serving shapes.
 OD_AUTO_BYTES = int(os.environ.get("ACCFLOW_OD_CHUNK_BYTES", 4 << 30))
 
+# On-demand recompute einsum form: "bqyx" emits correlation rows directly
+# in the (hl, wl)-separated layout the tent contractions consume;
+# "bqk" is the flat form (A/B probe knob — see lookup_corr_on_demand).
+_OD_EINSUM = os.environ.get("ACCFLOW_OD_EINSUM", "bqyx")
+
 
 def _auto_chunk(b: int, q: int, key_elems: int) -> int:
     """Largest divisor-of-q chunk whose recomputed rows
@@ -395,9 +400,23 @@ def lookup_corr_on_demand(
         cf = cc.reshape(qc, 2)
         outs = []
         for i, (f2l, (hl, wl)) in enumerate(zip(od.f2_levels, od.shapes)):
-            corr = jnp.einsum(
-                "bqc,bkc->bqk", f1c, f2l, precision=precision
-            ) * inv_sqrt_c
+            if _OD_EINSUM == "bqyx":
+                # Emit the rows directly in (b, q, hl, wl): the f2 view
+                # (b,hl,wl,c) is free (minor dim unchanged) and the MXU
+                # writes straight into the lane-padded row layout the
+                # tent contractions consume — the r5 trace pinned a
+                # 92 ms/step relayout reshape on the flat (b,q,k) form
+                # (the stored path pays that relayout ONCE at build
+                # time; on-demand was paying it every iteration).
+                corr = jnp.einsum(
+                    "bqc,byxc->bqyx", f1c,
+                    f2l.reshape(-1, hl, wl, f2l.shape[-1]),
+                    precision=precision,
+                ) * inv_sqrt_c
+            else:  # "bqk" — the flat form, kept for A/B probes
+                corr = jnp.einsum(
+                    "bqc,bkc->bqk", f1c, f2l, precision=precision
+                ) * inv_sqrt_c
             corr = corr.reshape(qc, hl, wl).astype(vol)
             cx = cf[:, 0:1] / (2.0**i) + delta[None]
             cy = cf[:, 1:2] / (2.0**i) + delta[None]
