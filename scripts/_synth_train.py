@@ -32,7 +32,10 @@ def train_synthetic_weights(
     clips for CVO-protocol EPE)."""
     root = os.path.join(tmp, "cvor")
     num_train = max(4 * clips, 48)
-    if reuse:
+    # reuse only skips synthesis when the data actually exists (an empty
+    # pre-created workdir must still synthesize; checkpoints resume
+    # independently below).
+    if reuse and os.path.exists(os.path.join(root, "train", "meta.json")):
         print(f"[quality] reusing CVOR + checkpoints under {tmp}")
     else:
         print(f"[quality] synthetic CVOR at {root} ({qsize}^2, "
