@@ -223,9 +223,16 @@ def _divisor_chunk(total: int, chunk: int) -> int:
 OD_AUTO_BYTES = int(os.environ.get("ACCFLOW_OD_CHUNK_BYTES", 4 << 30))
 
 # On-demand recompute einsum form: "bqyx" emits correlation rows directly
-# in the (hl, wl)-separated layout the tent contractions consume;
-# "bqk" is the flat form (A/B probe knob — see lookup_corr_on_demand).
-_OD_EINSUM = os.environ.get("ACCFLOW_OD_EINSUM", "bqyx")
+# in the (hl, wl)-separated layout the tent contractions consume; "bqk"
+# is the flat form. Default "auto" picks per shape from the r5 on-chip
+# A/B (BENCH_MATRIX): bqyx wins when the chunk's live rows are small
+# (512^2 single-chunk, 178 MB: 57.3 vs 53.9 f/s — it skips the
+# per-iteration relayout of the flat output), bqk wins once they are
+# large (1024^2 single-chunk, 1.4 GB: 6.15 vs 5.95 f/s); 1536^2/2048^2
+# measured a wash. The crossover is gated on _OD_BQYX_BYTES of live
+# f32 rows per chunk.
+_OD_EINSUM = os.environ.get("ACCFLOW_OD_EINSUM", "auto")
+_OD_BQYX_BYTES = int(os.environ.get("ACCFLOW_OD_BQYX_BYTES", 512 << 20))
 
 
 def _auto_chunk(b: int, q: int, key_elems: int) -> int:
@@ -390,6 +397,10 @@ def lookup_corr_on_demand(
     delta = jnp.linspace(-radius, radius, num, dtype=jnp.float32)
 
     vol = jnp.dtype(od.vol_dtype)
+    key_elems = sum(hl * wl for hl, wl in od.shapes)
+    use_bqyx = _OD_EINSUM == "bqyx" or (
+        _OD_EINSUM == "auto" and 4 * b * chunk * key_elems <= _OD_BQYX_BYTES
+    )
 
     def one_chunk(f1c: jnp.ndarray, cc: jnp.ndarray) -> jnp.ndarray:
         # f1c: (B, Qc, C) queries; cc: (B, Qc, 2) their lookup centers.
@@ -400,7 +411,7 @@ def lookup_corr_on_demand(
         cf = cc.reshape(qc, 2)
         outs = []
         for i, (f2l, (hl, wl)) in enumerate(zip(od.f2_levels, od.shapes)):
-            if _OD_EINSUM == "bqyx":
+            if use_bqyx:
                 # Emit the rows directly in (b, q, hl, wl): the f2 view
                 # (b,hl,wl,c) is free (minor dim unchanged) and the MXU
                 # writes straight into the lane-padded row layout the
@@ -413,7 +424,7 @@ def lookup_corr_on_demand(
                     f2l.reshape(-1, hl, wl, f2l.shape[-1]),
                     precision=precision,
                 ) * inv_sqrt_c
-            else:  # "bqk" — the flat form, kept for A/B probes
+            else:  # "bqk" — the flat form (large chunks / A/B probes)
                 corr = jnp.einsum(
                     "bqc,bkc->bqk", f1c, f2l, precision=precision
                 ) * inv_sqrt_c

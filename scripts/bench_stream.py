@@ -208,12 +208,17 @@ def main():
     only = os.environ.get("BENCH_CONFIGS")
     only = set(only.split(",")) if only else None
 
+    from _matrix import record
+
     for name, iters, warm in CONFIGS:
         if only is not None and name not in only:
             continue
         t = clip_time(iters, warm)
         print(f"{name:8s} {t*1e3:8.1f} ms/clip  ({FRAMES/t:6.1f} frames/s)",
               flush=True)
+        record(f"stream_{name}_frames_per_sec", FRAMES / t, "frames/s/chip",
+               ofe=OFE, batch=BATCH, size=SIZE,
+               lookup=os.environ.get("BENCH_LOOKUP", "fused"))
 
     for iters in (6, 4):
         if only is not None and f"stream{iters}" not in only:
@@ -221,6 +226,9 @@ def main():
         t = stream_time(iters)
         print(f"stream{iters} {t*1e3:8.1f} ms/frame ({1.0/t:6.1f} frames/s)"
               " steady-state", flush=True)
+        record(f"stream_stream{iters}_frames_per_sec", 1.0 / t,
+               "flows/s/chip", ofe=OFE, batch=BATCH, size=SIZE,
+               lookup=os.environ.get("BENCH_LOOKUP", "fused"))
 
     if os.environ.get("QUALITY", "0") == "1":
         run_quality()

@@ -330,6 +330,25 @@ def test_lookup_corr_on_demand_equals_mm(rng):
         )
         np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
 
+    # Both recompute-einsum forms are exact regardless of what the size
+    # gate would pick (the "auto" default routes small chunks to bqyx and
+    # large ones to bqk — ops/corr.py::_OD_EINSUM; forcing each branch
+    # keeps the unselected one covered).
+    import accflow_tpu.ops.corr as corr_mod
+
+    for form in ("bqyx", "bqk"):
+        old = corr_mod._OD_EINSUM
+        corr_mod._OD_EINSUM = form
+        try:
+            got = np.asarray(
+                ops.lookup_corr_on_demand(
+                    od, jnp.asarray(coords), radius=4, chunk=64
+                )
+            )
+        finally:
+            corr_mod._OD_EINSUM = old
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
     # dispatch surface + wrong-operand / bad-suffix errors
     got = np.asarray(ops.lookup(od, jnp.asarray(coords), radius=4, impl="ondemand:64"))
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
