@@ -49,8 +49,58 @@ def main():
     rng = np.random.default_rng(0)
     video = rng.integers(0, 256, (FRAMES, SIZE, SIZE, 3)).astype(np.uint8)
 
+    import jax.numpy as jnp
+
+    from accflow_tpu.models.accflow import AccFlowConfig, init_accflow
+    from accflow_tpu.streaming import make_streaming_fns
+
+    def device_ms(iters):
+        """Honest b1 DEVICE step time (chained K-vs-2K inside one jitted
+        fori_loop — bench.py measure_stream semantics at batch 1): what
+        the hardware itself costs per frame, without the axon tunnel's
+        per-dispatch round trip that on-host serving would not pay."""
+        import jax
+
+        est = build_flow_estimator(OFE, compute_dtype="bfloat16",
+                                   iters=iters, scan_unroll=4)
+        acfg = AccFlowConfig(compute_dtype="bfloat16", warm_start=True)
+        op = est.init(jax.random.PRNGKey(0))
+        ap = init_accflow(jax.random.PRNGKey(1), acfg)
+        init_fn, step_fn = make_streaming_fns(est, acfg, op, ap)
+        rng = np.random.default_rng(1)
+        frames3 = jnp.asarray(
+            rng.uniform(-1, 1, (3, 1, SIZE, SIZE, 3)).astype(np.float32))
+        _, state0 = jax.jit(init_fn)(frames3)
+
+        def make_loop(k):
+            def loop(state, frame):
+                def body(i, c):
+                    acc, st, fr = c
+                    out, st = step_fn(st, fr)
+                    s = jnp.sum(out[0, 0, 0]).astype(jnp.float32)
+                    return (acc + s, st, fr + s * 1e-30)
+                acc, _, _ = jax.lax.fori_loop(
+                    0, k, body, (jnp.float32(0.0), state, frame))
+                return acc
+            return jax.jit(loop)
+
+        k = 15
+        f1, f2 = make_loop(k), make_loop(2 * k)
+        args = (state0, frames3[2])
+        float(f1(*args)); float(f2(*args))
+        t0 = time.perf_counter(); float(f1(*args))
+        t1 = time.perf_counter(); float(f2(*args))
+        t2 = time.perf_counter()
+        return max((t2 - t1) - (t1 - t0), 1e-9) / k * 1e3
+
     for iters in (int(x) for x in
                   os.environ.get("LAT_ITERS", "6,4").split(",")):
+        dev = device_ms(iters)
+        print(f"stream{iters} b1 {SIZE}^2 device step: {dev:.1f} ms/frame "
+              f"({1e3/dev:.1f} frames/s)", flush=True)
+        record(f"stream{iters}_b1_latency_ms", dev, "ms/frame", ofe=OFE,
+               size=SIZE, frames=FRAMES, path="device")
+
         stream = pipe.stream(iters=iters)
         # Seed + compile (init + step programs) outside the timed region.
         for i in range(4):
@@ -64,7 +114,9 @@ def main():
         ts_ms = np.sort(np.array(ts)) * 1e3
         med, p90 = float(np.median(ts_ms)), float(ts_ms[int(0.9 * len(ts_ms))])
         print(f"stream{iters} b1 {SIZE}^2 e2e send(): median {med:.1f} ms/frame "
-              f"p90 {p90:.1f} ms ({1e3/med:.1f} frames/s)", flush=True)
+              f"p90 {p90:.1f} ms ({1e3/med:.1f} frames/s) "
+              f"[includes the axon-tunnel dispatch+readback round trip]",
+              flush=True)
         record(f"stream{iters}_b1_latency_ms", med, "ms/frame", ofe=OFE,
                size=SIZE, p90_ms=round(p90, 1), frames=FRAMES, path="e2e")
 
