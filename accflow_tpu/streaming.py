@@ -87,14 +87,16 @@ def make_streaming_fns(
     ini_init picks the warm start of the LONG-RANGE query (I_i -> I_0):
       "ini"    advect the previous step's direct flow_ini (default; the
                in-clip warm-start recurrence, exactness-tested).
-      "carry"  advect the previous ACCUMULATED output flow — a
-               re-anchoring policy for long streams: once the true
-               displacement exceeds what a cold direct solve can find,
-               the accumulated estimate is the only good query seed, so
-               drift in flow_ini (which the cell's Blending fuses back
-               in) stops compounding from a stale direct chain.
-               Measured on long time-varying synthetic streams in
-               scripts/bench_drift.py.
+      "carry"  advect the previous ACCUMULATED output flow. ADJUDICATED
+               LOSER, kept as the documented negative result: the r5
+               64-frame drift study (scripts/bench_drift.py, PARITY.md
+               "Long-stream drift study") measured it diverging
+               catastrophically (EPE 30.7 at i=8 -> 1591 at i=32) —
+               the accumulated flow's magnitude grows with horizon, and
+               a beyond-search-range query seed puts the correlation
+               lookup outside its 81-tap window with no path back. The
+               default "ini" needs no re-anchoring: it tracks the cold
+               recurrence at every horizon measured (to i=63).
     """
     if ini_init not in ("ini", "carry"):
         raise ValueError(f"ini_init must be 'ini' or 'carry', got {ini_init!r}")

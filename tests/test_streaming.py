@@ -256,3 +256,28 @@ def test_long_stream_drift_bound():
     assert late <= 2.0 * early + 1.0, (
         f"accumulated drift: late EPE {late:.3f} vs early {early:.3f}"
     )
+
+
+def test_stream_ini_init_carry_variant(setup):
+    """The ini_init knob: invalid values fail loudly; 'carry' (the
+    adjudicated-loser re-anchoring policy kept as a documented negative
+    result — PARITY.md "Long-stream drift study") runs, matches 'ini' on
+    the reset output (identical cold start), and diverges from it once
+    the differing query seed has fed through a push."""
+    from accflow_tpu.streaming import StreamAccumulator
+
+    est, acfg, ofe_params, acc_params, frames = setup
+    with pytest.raises(ValueError, match="ini_init"):
+        StreamAccumulator(est, acfg, ofe_params, acc_params,
+                          ini_init="bogus")
+
+    a = StreamAccumulator(est, acfg, ofe_params, acc_params, ini_init="ini")
+    b = StreamAccumulator(est, acfg, ofe_params, acc_params,
+                          ini_init="carry")
+    ra, rb = np.asarray(a.reset(frames[:3])), np.asarray(b.reset(frames[:3]))
+    np.testing.assert_allclose(ra, rb, rtol=1e-6, atol=1e-6)
+    pa = [np.asarray(a.push(frames[i])) for i in range(3, 5)]
+    pb = [np.asarray(b.push(frames[i])) for i in range(3, 5)]
+    assert all(np.isfinite(p).all() for p in pa + pb)
+    # carry != ini once the seeds differ (flow_ini vs accumulated carry).
+    assert np.abs(pa[-1] - pb[-1]).max() > 1e-6
