@@ -419,9 +419,13 @@ def lookup_corr_on_demand(
                 # 92 ms/step relayout reshape on the flat (b,q,k) form
                 # (the stored path pays that relayout ONCE at build
                 # time; on-demand was paying it every iteration).
+                # Explicit batch dim: -1 cannot be inferred when the
+                # coarsest pyramid level is degenerate (hl or wl == 0 at
+                # tiny frame sizes — the einsum then just yields empty
+                # rows, like the flat form always did).
                 corr = jnp.einsum(
                     "bqc,byxc->bqyx", f1c,
-                    f2l.reshape(-1, hl, wl, f2l.shape[-1]),
+                    f2l.reshape(f2l.shape[0], hl, wl, f2l.shape[-1]),
                     precision=precision,
                 ) * inv_sqrt_c
             else:  # "bqk" — the flat form (large chunks / A/B probes)

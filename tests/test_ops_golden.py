@@ -878,3 +878,27 @@ def test_instance_norm_bf16_close_to_f32(rng):
     assert np.max(np.abs(fast - exact)) < 0.12
     # and the error must be noise, not a systematic per-channel shift:
     assert np.max(np.abs((fast - exact).mean(axis=(1, 2)))) < 0.01
+
+
+def test_lookup_corr_on_demand_degenerate_level(rng):
+    """Tiny frames make the coarsest pyramid level zero-sized (e.g. 4x4
+    features pool to (2,2),(1,1),(0,0)); the on-demand recompute must
+    still match the stored-volume path there — the bqyx einsum's f2 view
+    once died on a ZeroDivisionError inferring -1 past a 0 dim (caught
+    by the r5 full-suite run via the demo CLI)."""
+    b, h, w, c = 1, 4, 4, 8
+    f1 = rng.standard_normal((b, h, w, c)).astype(np.float32)
+    f2 = rng.standard_normal((b, h, w, c)).astype(np.float32)
+    coords = (
+        np.asarray(ops.coords_grid(b, h, w))
+        + rng.uniform(-2, 2, size=(b, h, w, 2)).astype(np.float32)
+    )
+    pyr = ops.build_corr_pyramid(jnp.asarray(f1), jnp.asarray(f2), num_levels=4)
+    ref = np.asarray(ops.lookup_corr(pyr, jnp.asarray(coords), radius=4))
+    od = ops.build_corr_on_demand(jnp.asarray(f1), jnp.asarray(f2), num_levels=4)
+    for chunk in (0, 8):  # AUTO single-chunk and a chunked lax.map
+        got = np.asarray(
+            ops.lookup_corr_on_demand(od, jnp.asarray(coords), radius=4,
+                                      chunk=chunk)
+        )
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
