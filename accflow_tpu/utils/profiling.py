@@ -29,6 +29,51 @@ def trace(log_dir: str):
         jax.profiler.stop_trace()
 
 
+def timed_pair_median(
+    f1: Callable,
+    f2: Callable,
+    args: tuple,
+    k: int,
+    repeats: int = 3,
+) -> float:
+    """Median per-iteration seconds over `repeats` K-vs-2K timing pairs.
+
+    f1/f2 must already be compiled AND warmed (one call each). A pair
+    whose subtraction comes out non-positive is a measurement casualty —
+    a transient host/relay delay landing on one leg can make
+    t(2K) <= t(K) — so it is discarded and retried (up to 3*repeats
+    attempts) rather than floored: flooring once turned a relay hiccup
+    into a 3e10 frames/s bench capture (PARITY.md "Bench variance").
+    Raises RuntimeError if every attempt is degenerate, so callers
+    report a failed measurement instead of a garbage number."""
+    import sys
+
+    dts = []
+    for _ in range(3 * repeats):
+        if len(dts) >= repeats:
+            break
+        t0 = time.perf_counter()
+        float(f1(*args))
+        t1 = time.perf_counter()
+        float(f2(*args))
+        t2 = time.perf_counter()
+        dt = ((t2 - t1) - (t1 - t0)) / k
+        if dt > 0:
+            dts.append(dt)
+        else:
+            print(
+                "timing: discarding degenerate K-vs-2K pair "
+                "(t2K-tK = %.1f ms)" % (1e3 * k * dt),
+                file=sys.stderr, flush=True,
+            )
+    if not dts:
+        raise RuntimeError(
+            "every K-vs-2K timing pair came out non-positive "
+            "(relay/host unstable?) — measurement failed"
+        )
+    return float(sorted(dts)[len(dts) // 2])
+
+
 def device_step_time(
     step_fn: Callable,
     args,
@@ -77,9 +122,6 @@ def device_step_time(
     # compile + warm both
     float(f1(args))
     float(f2(args))
-    t0 = time.perf_counter()
-    float(f1(args))
-    t1 = time.perf_counter()
-    float(f2(args))
-    t2 = time.perf_counter()
-    return max((t2 - t1) - (t1 - t0), 1e-9) / iters
+    # Single pair by default (cost parity with the old behavior), but
+    # degenerate pairs are retried instead of floored to 1e-9.
+    return timed_pair_median(f1, f2, (args,), iters, repeats=1)

@@ -62,15 +62,14 @@ def main():
 
             return jax.jit(loop)
 
+        from accflow_tpu.utils.profiling import timed_pair_median
+
         f1, f2 = make_loop(K), make_loop(2 * K)
         float(f1(acc_params, ofe_params, images))
         float(f2(acc_params, ofe_params, images))
-        t0 = time.perf_counter()
-        float(f1(acc_params, ofe_params, images))
-        t1 = time.perf_counter()
-        float(f2(acc_params, ofe_params, images))
-        t2 = time.perf_counter()
-        return max((t2 - t1) - (t1 - t0), 1e-9) / K / BATCH
+        return timed_pair_median(
+            f1, f2, (acc_params, ofe_params, images), K
+        ) / BATCH
 
     acfg = AccFlowConfig(compute_dtype="bfloat16")
     import os as _os

@@ -90,16 +90,15 @@ def main():
 
             return jax.jit(loop)
 
+        from accflow_tpu.utils.profiling import timed_pair_median
+
         try:
             f1, f2 = make_loop(K), make_loop(2 * K)
             float(f1(acc_params, ofe_params, images))
             float(f2(acc_params, ofe_params, images))
-            t0 = time.perf_counter()
-            float(f1(acc_params, ofe_params, images))
-            t1 = time.perf_counter()
-            float(f2(acc_params, ofe_params, images))
-            t2 = time.perf_counter()
-            return max((t2 - t1) - (t1 - t0), 1e-9) / K / batch
+            return timed_pair_median(
+                f1, f2, (acc_params, ofe_params, images), K
+            ) / batch
         except Exception as e:
             if "tpu_compile_helper" not in str(e):
                 raise

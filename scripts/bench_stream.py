@@ -154,16 +154,13 @@ def main():
 
             return jax.jit(loop)
 
+        from accflow_tpu.utils.profiling import timed_pair_median
+
         k = 4 * K
         f1, f2 = make_loop(k), make_loop(2 * k)
         float(f1(state0, frame0))
         float(f2(state0, frame0))
-        t0 = time.perf_counter()
-        float(f1(state0, frame0))
-        t1 = time.perf_counter()
-        float(f2(state0, frame0))
-        t2 = time.perf_counter()
-        return max((t2 - t1) - (t1 - t0), 1e-9) / k / BATCH
+        return timed_pair_median(f1, f2, (state0, frame0), k) / BATCH
 
     def clip_time(iters, warm):
         est = build_flow_estimator(OFE, compute_dtype="bfloat16", iters=iters,
@@ -193,15 +190,14 @@ def main():
 
             return jax.jit(loop)
 
+        from accflow_tpu.utils.profiling import timed_pair_median
+
         f1, f2 = make_loop(K), make_loop(2 * K)
         float(f1(acc_params, ofe_params, images))
         float(f2(acc_params, ofe_params, images))
-        t0 = time.perf_counter()
-        float(f1(acc_params, ofe_params, images))
-        t1 = time.perf_counter()
-        float(f2(acc_params, ofe_params, images))
-        t2 = time.perf_counter()
-        return max((t2 - t1) - (t1 - t0), 1e-9) / K / BATCH
+        return timed_pair_median(
+            f1, f2, (acc_params, ofe_params, images), K
+        ) / BATCH
 
     # BENCH_CONFIGS: comma list of row names (cold12, warm6, stream4, ...)
     # to (re)run — the relay sometimes drops long multi-config processes.

@@ -84,14 +84,13 @@ def main():
                 return acc
             return jax.jit(loop)
 
+        from accflow_tpu.utils.profiling import timed_pair_median
+
         k = 15
         f1, f2 = make_loop(k), make_loop(2 * k)
         args = (state0, frames3[2])
         float(f1(*args)); float(f2(*args))
-        t0 = time.perf_counter(); float(f1(*args))
-        t1 = time.perf_counter(); float(f2(*args))
-        t2 = time.perf_counter()
-        return max((t2 - t1) - (t1 - t0), 1e-9) / k * 1e3
+        return timed_pair_median(f1, f2, args, k) * 1e3
 
     for iters in (int(x) for x in
                   os.environ.get("LAT_ITERS", "6,4").split(",")):

@@ -424,3 +424,28 @@ def test_corr_lookup_experimental_fence(rng):
     got = est_exp.forward(params, i1, i2)["flow_up"]
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_timed_pair_median_discards_degenerate(monkeypatch):
+    """The K-vs-2K helper must DISCARD non-positive subtractions (relay
+    hiccups) and median the clean pairs — flooring once produced a 3e10
+    frames/s capture (PARITY.md 'Bench variance') — and fail loudly when
+    nothing clean remains."""
+    from accflow_tpu.utils import profiling
+
+    # Scripted perf_counter: each timing pair consumes 3 readings
+    # (t0, t1, t2) -> dt = (t2-t1)-(t1-t0). Pair 1 degenerate (dt=0),
+    # pairs 2-4: dt = 2, 4, 3 seconds (k=1) -> median 3.
+    times = iter([0.0, 1.0, 2.0,        # (1-1)=0 -> discarded
+                  0.0, 1.0, 4.0,        # 2
+                  0.0, 1.0, 6.0,        # 4
+                  0.0, 1.0, 5.0])       # 3
+    monkeypatch.setattr(profiling.time, "perf_counter", lambda: next(times))
+    f = lambda: 0.0
+    assert profiling.timed_pair_median(f, f, (), k=1, repeats=3) == 3.0
+
+    # All-degenerate: RuntimeError, never a floored number.
+    bad = iter([0.0, 1.0, 2.0] * 9)
+    monkeypatch.setattr(profiling.time, "perf_counter", lambda: next(bad))
+    with pytest.raises(RuntimeError, match="non-positive"):
+        profiling.timed_pair_median(f, f, (), k=1, repeats=3)
